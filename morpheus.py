@@ -1,0 +1,112 @@
+"""MorpheuS-TPU CLI — identical interface to the reference trainer
+(reference: morpheus.py:1522-1554):
+
+    python morpheus.py --config configs/snoopy.yaml [section --key value ...]
+
+Orchestrates per-scene optimization with periodic diagnostics: init mesh, test
+videos every test_interval, canonical mesh every mesh_interval, per-frame
+meshes + 3D metrics every mesh_all_interval, final checkpoint (reference
+train(): morpheus.py:1435-1519).
+"""
+from __future__ import annotations
+
+import os
+import sys
+import threading
+import time
+
+
+def main(argv=None):
+    from morpheus_tpu.config import dump_config, parse_cli
+    from morpheus_tpu.data.dataset import DeformDataset
+    from morpheus_tpu.train.trainer import Trainer
+    from morpheus_tpu.utils import Logger, seed_everything
+    from morpheus_tpu import mesh_export
+    from morpheus_tpu.vis import video as video_lib
+
+    config = parse_cli(argv)
+    workspace = os.path.join(config["exp"]["output"], config["exp"]["exp_name"])
+    os.makedirs(workspace, exist_ok=True)
+    log = Logger(workspace, config["exp"]["log"])
+    dump_config(config, workspace)
+    seed_everything(config["exp"]["seed"])
+
+    if config["data"]["data_dir"] == "<synthetic>":
+        from morpheus_tpu.data.synthetic import make_synthetic_scene
+        scene = make_synthetic_scene()
+    else:
+        scene = None
+    dataset = DeformDataset(config, scene=scene)
+    log(f"Loaded {dataset.num_frames} frames at {dataset.H}x{dataset.W}")
+
+    guidance = None
+    if config["guidance"]["model"] and config["guidance"].get("zero123_ckpt"):
+        ckpt = config["guidance"]["zero123_ckpt"]
+        if os.path.exists(ckpt):
+            from morpheus_tpu.guidance.zero123 import Zero123Guidance
+            guidance = Zero123Guidance.from_checkpoint(
+                ckpt, t_range=tuple(config["guidance"]["t_range"]))
+            log(f"Loaded Zero123 guidance from {ckpt}")
+        else:
+            log(f"[warn] zero123 ckpt not found at {ckpt}; "
+                "training recon-only (no SDS)")
+
+    trainer = Trainer(config, dataset, guidance=guidance, workspace=workspace)
+
+    mesh_dir = os.path.join(workspace, "mesh")
+    mesh_export.export_mesh(trainer.state.params, trainer.spec,
+                            os.path.join(mesh_dir, "init.ply"), cano=True)
+    log("Exported init mesh")
+
+    max_epochs = config["train"]["n_epochs"]
+    exp = config["exp"]
+    eval_threads = []
+    for epoch in range(trainer.epoch + 1, max_epochs + 1):
+        trainer.epoch = epoch
+        t0 = time.time()
+        loss = trainer.train_one_epoch()
+        if epoch % 10 == 0 or epoch == 1:
+            log(f"epoch {epoch}/{max_epochs} loss={loss:.4f} "
+                f"({time.time() - t0:.2f}s)")
+
+        if epoch == max_epochs:
+            trainer.save_ckpt(os.path.join(workspace, "models",
+                                           f"model_ep_{epoch:04d}.pkl"))
+
+        if epoch % exp["test_interval"] == 0 or epoch == max_epochs:
+            results = os.path.join(workspace, "results")
+            video_lib.render_test_video(trainer, results, "test", phis=0)
+            video_lib.render_test_video(trainer, results, "test_180", phis=0.5)
+            video_lib.render_test_video(trainer, results, "test_cano", cano=True)
+            video_lib.render_test_video(trainer, results, "test_360",
+                                        view_360=True)
+            video_lib.render_test_video(trainer, results, "test_real",
+                                        real_view=True)
+
+        if epoch % exp["mesh_interval"] == 0 or epoch == max_epochs:
+            mesh_export.export_mesh(
+                trainer.state.params, trainer.spec,
+                os.path.join(mesh_dir, f"mesh_{epoch:04d}.ply"), cano=True)
+
+        if epoch % exp["mesh_all_interval"] == 0 or epoch == max_epochs:
+            mesh_all_dir = os.path.join(workspace, "mesh_all")
+            resolution = 128 if epoch != max_epochs else 256
+            mesh_export.export_all_meshes(
+                trainer.state.params, trainer.spec, mesh_all_dir,
+                dataset.num_frames, epoch, resolution=resolution)
+            if epoch % exp["mesh_all_eval_interval"] == 0 or epoch == max_epochs:
+                from morpheus_tpu.eval.culling import eval_mesh
+                t1 = threading.Thread(
+                    target=eval_mesh,
+                    args=(workspace, mesh_all_dir, dataset,
+                          f"mesh_{epoch:04d}", epoch))
+                t1.start()
+                eval_threads.append(t1)
+
+    for t in eval_threads:
+        t.join()
+    log("Training done.")
+
+
+if __name__ == "__main__":
+    main()

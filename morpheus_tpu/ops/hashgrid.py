@@ -1,0 +1,204 @@
+"""Multi-resolution hash/tiled grid encoder (Instant-NGP style).
+
+TPU-native re-design of the reference CUDA gridencoder
+(external/encoders/gridencoder/src/gridencoder.cu, grid.py). Spec parity:
+  - prime-XOR hashing of integer corners (gridencoder.cu:46-58)
+  - dense indexing until the level overflows the hash table, then hash
+    (gridencoder.cu:62-79)
+  - per-level resolution ceil(exp2(level*S)*H), table sizes rounded up to 8
+    (gridencoder.cu:133, grid.py:128-135)
+  - align_corners both modes, linear + smoothstep interpolation
+    (gridencoder.cu:143-159)
+  - out-of-range inputs produce zeros (gridencoder.cu:101-130)
+  - max_level partial evaluation with zero-fill (grid.py:42,53)
+
+Unlike the CUDA version there is no hand-written backward: the forward is a
+differentiable gather+lerp, so JAX autodiff yields exact gradients to both the
+embeddings (scatter-add, replacing CUDA atomics) and the inputs (replacing the
+cached dy_dx double-backward path). The level loop is unrolled at trace time
+(L=16 static) and XLA batches the per-level gathers.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+_PRIMES = (1, 2654435761, 805459861, 3674653429, 2097192037, 1434869437, 2165219737)
+
+
+@dataclasses.dataclass(frozen=True)
+class HashGridSpec:
+    input_dim: int = 3
+    num_levels: int = 16
+    level_dim: int = 2
+    base_resolution: int = 16
+    log2_hashmap_size: int = 15
+    per_level_scale: float = 2.0
+    desired_resolution: int | None = None
+    gridtype: str = "hash"        # 'hash' | 'tiled'
+    align_corners: bool = False
+    interpolation: str = "linear"  # 'linear' | 'smoothstep'
+
+    def __post_init__(self):
+        if self.desired_resolution is not None:
+            s = np.exp2(np.log2(self.desired_resolution / self.base_resolution)
+                        / (self.num_levels - 1))
+            object.__setattr__(self, "per_level_scale", float(s))
+
+    @property
+    def output_dim(self) -> int:
+        return self.num_levels * self.level_dim
+
+    @property
+    def resolutions(self) -> Sequence[int]:
+        s = np.log2(self.per_level_scale)
+        return tuple(int(np.ceil(np.exp2(l * s) * self.base_resolution))
+                     for l in range(self.num_levels))
+
+    @property
+    def offsets(self) -> Sequence[int]:
+        """Start offset of each level's table; matches grid.py:125-135."""
+        offs, off = [], 0
+        max_params = 2 ** self.log2_hashmap_size
+        for res in self.resolutions:
+            n = min(max_params, res ** self.input_dim)
+            n = int(np.ceil(n / 8) * 8)
+            offs.append(off)
+            off += n
+        offs.append(off)
+        return tuple(offs)
+
+    @property
+    def table_size(self) -> int:
+        return self.offsets[-1]
+
+
+def init_embeddings(key: jax.Array, spec: HashGridSpec,
+                    dtype=jnp.float32) -> jnp.ndarray:
+    """Uniform(-1e-4, 1e-4) init (grid.py:145-147)."""
+    return jax.random.uniform(key, (spec.table_size, spec.level_dim),
+                              minval=-1e-4, maxval=1e-4, dtype=dtype)
+
+
+def _corner_index(spec: HashGridSpec, pos_grid: jnp.ndarray, resolution: int,
+                  hashmap_size: int) -> jnp.ndarray:
+    """Integer corner coords (..., D) uint32 → table index within the level.
+
+    Mirrors get_grid_index (gridencoder.cu:62-79): dense stride accumulation
+    while the stride still fits the table, hash overflow otherwise.
+    """
+    D = spec.input_dim
+    index = jnp.zeros(pos_grid.shape[:-1], dtype=jnp.uint32)
+    stride = 1
+    for d in range(D):
+        if stride <= hashmap_size:
+            index = index + pos_grid[..., d] * jnp.uint32(stride)
+        stride *= resolution
+    if spec.gridtype == "hash" and stride > hashmap_size:
+        h = jnp.zeros(pos_grid.shape[:-1], dtype=jnp.uint32)
+        for d in range(D):
+            h = h ^ (pos_grid[..., d] * jnp.uint32(_PRIMES[d] & 0xFFFFFFFF))
+        index = h
+    return (index % jnp.uint32(hashmap_size)).astype(jnp.int32)
+
+
+def encode(inputs: jnp.ndarray, embeddings: jnp.ndarray, spec: HashGridSpec,
+           bound: float = 1.0, max_level=None) -> jnp.ndarray:
+    """Encode positions in [-bound, bound]^D → (..., L*C) features.
+
+    max_level ∈ (0, 1] (python float or traced scalar) zero-fills levels
+    >= ceil(max_level*L) like the reference's coarse-to-fine masking
+    (grid.py:42,53: active = clamp(ceil(max_level*L), 1, L)).
+    """
+    x01 = (inputs + bound) / (2.0 * bound)
+    prefix = x01.shape[:-1]
+    x = x01.reshape(-1, spec.input_dim)
+
+    in_range = jnp.all((x >= 0.0) & (x <= 1.0), axis=-1, keepdims=True)
+
+    offsets = spec.offsets
+    resolutions = spec.resolutions
+    D = spec.input_dim
+
+    if max_level is None:
+        active = None
+    else:
+        active = jnp.clip(jnp.ceil(jnp.asarray(max_level) * spec.num_levels)
+                          .astype(jnp.int32), 1, spec.num_levels)
+
+    outs = []
+    for level in range(spec.num_levels):
+        res = resolutions[level]
+        hashmap_size = offsets[level + 1] - offsets[level]
+        if spec.align_corners:
+            pos = x * float(res - 1)
+            grid0 = jnp.clip(jnp.floor(pos), 0, res - 2)
+        else:
+            pos = jnp.clip(x * float(res) - 0.5, 0.0, float(res - 1))
+            grid0 = jnp.floor(pos)
+        frac = pos - grid0
+        if spec.interpolation == "smoothstep":
+            frac = frac * frac * (3.0 - 2.0 * frac)
+        grid0 = grid0.astype(jnp.uint32)
+
+        feat = 0.0
+        for corner in range(1 << D):
+            w = jnp.ones(x.shape[:-1] + (1,), dtype=x.dtype)
+            cg = []
+            for d in range(D):
+                if (corner >> d) & 1:
+                    w = w * frac[..., d:d + 1]
+                    cg.append(jnp.minimum(grid0[..., d] + 1, res - 1))
+                else:
+                    w = w * (1.0 - frac[..., d:d + 1])
+                    cg.append(grid0[..., d])
+            cg = jnp.stack(cg, axis=-1)
+            idx = _corner_index(spec, cg, res, hashmap_size) + offsets[level]
+            feat = feat + w * jnp.take(embeddings, idx, axis=0)
+
+        if active is not None:
+            feat = jnp.where(level < active, feat, 0.0)
+        outs.append(feat)
+
+    out = jnp.concatenate(outs, axis=-1)
+    out = jnp.where(in_range, out, 0.0)
+    return out.reshape(*prefix, spec.output_dim)
+
+
+def weight_decay_loss(embeddings: jnp.ndarray, spec: HashGridSpec) -> jnp.ndarray:
+    """Level-wise meaned L2 (zip-nerf style), the loss form of the reference's
+    grad_weight_decay kernel (gridencoder.cu:671, grid.py:195-206)."""
+    offsets = spec.offsets
+    loss = 0.0
+    for level in range(spec.num_levels):
+        emb = embeddings[offsets[level]:offsets[level + 1]]
+        loss = loss + 0.5 * jnp.sum(emb * emb) / emb.shape[0]
+    return loss
+
+
+def total_variation_loss(key: jax.Array, embeddings: jnp.ndarray,
+                         spec: HashGridSpec, n_samples: int = 4096,
+                         bound: float = 1.0) -> jnp.ndarray:
+    """Stochastic TV regularizer: squared feature difference between random
+    points and one-cell-offset neighbours per level — the loss form of
+    kernel_grad_tv (gridencoder.cu:526)."""
+    k1, k2 = jax.random.split(key)
+    x = jax.random.uniform(k1, (n_samples, spec.input_dim),
+                           minval=-bound, maxval=bound)
+    loss = 0.0
+    for level in range(spec.num_levels):
+        res = spec.resolutions[level]
+        delta = (2.0 * bound) / res
+        axis = jax.random.randint(jax.random.fold_in(k2, level),
+                                  (n_samples,), 0, spec.input_dim)
+        offset = jax.nn.one_hot(axis, spec.input_dim) * delta
+        fa = encode(x, embeddings, spec, bound=bound)
+        fb = encode(jnp.clip(x + offset, -bound, bound), embeddings, spec,
+                    bound=bound)
+        sl = slice(level * spec.level_dim, (level + 1) * spec.level_dim)
+        loss = loss + jnp.mean((fa[:, sl] - fb[:, sl]) ** 2)
+    return loss / spec.num_levels

@@ -1,0 +1,203 @@
+"""Volume renderer + inline regularizers (reference: morpheus.py:558-794).
+
+One pure function over fixed shapes: N rays × K compacted samples. Everything
+the reference computes inside render_rays (orientation loss, 3-D normal
+smoothness, temporal code reg, surface-band normal smoothness, TSDF losses) is
+returned as loss components; the trainer weights and sums them.
+"""
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+
+from .model import field
+from .ops import occupancy, volrender
+from .train import losses
+from .utils import safe_normalize
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    bound: float = 1.01
+    step_size: float = 0.01
+    march_steps: int = 256
+    max_samples: int = 64
+    trunc: float = 0.1
+    smoothness_std: float = 0.005
+    topo_none: bool = True
+    num_frames: int = 1
+    bg_radius: float = 1.4
+    # which extra terms to compute (static; mirrors config weights > 0)
+    compute_normals: bool = True
+    normal_smooth_3d: bool = True
+    normal_smoothness: bool = True
+    code_reg: bool = True
+    outside_radius: float = 1.1
+
+    @staticmethod
+    def from_config(config: dict, num_frames: int, bound: float) -> "RenderConfig":
+        tr, tpu = config["train"], config["tpu"]
+        return RenderConfig(
+            bound=float(bound), step_size=config["render"]["step_size"],
+            march_steps=tpu["march_steps"], max_samples=tpu["max_samples_per_ray"],
+            trunc=tr["trunc"], smoothness_std=tr["smoothness_std"],
+            topo_none=tr["topo_none"], num_frames=num_frames,
+            bg_radius=config["model"]["bg_radius"],
+            normal_smooth_3d=tr["normal_smooth_3d"] > 0,
+            normal_smoothness=tr["normal_smoothness"] > 0,
+            code_reg=tr["code_reg"] > 0,
+        )
+
+
+def render_rays(params: dict, spec: field.FieldSpec, occ_state, key,
+                rays_o, rays_d, rays_t, rays_id, rcfg: RenderConfig, *,
+                bg_color=None, ambient_ratio=1.0,
+                shading_id=field.SHADING_ALBEDO, light_d=None,
+                real_view: bool = True, cano: bool = False,
+                rays_depth=None, rays_mask=None, optimize_pose: bool = False,
+                max_level=None, train: bool = True):
+    """Render N rays. All array args are (N, ...); static flags select the
+    compiled variant (reference branches at morpheus.py:558-794).
+
+    Returns a dict with image/depth/opacity and loss components.
+    """
+    k_march, k_light, k_perturb, k_smooth = jax.random.split(key, 4)
+    N = rays_o.shape[0]
+    K = rcfg.max_samples
+
+    if (not cano) and optimize_pose:
+        rays_o, rays_d = field.pose_optimisation(params, rays_o, rays_d, rays_id)
+
+    t_starts, t_ends, mask = occupancy.march_rays(
+        k_march, occ_state, rays_o, rays_d, rcfg.bound, rcfg.step_size,
+        rcfg.march_steps, rcfg.max_samples, stratified=True)
+
+    if light_d is None:
+        light_d = safe_normalize(rays_o + jax.random.normal(k_light, (3,)))
+
+    t_mid = 0.5 * (t_starts + t_ends)                           # (N, K)
+    xyzs = rays_o[:, None, :] + rays_d[:, None, :] * t_mid[..., None]
+    x_flat = xyzs.reshape(N * K, 3)
+    t_flat = jnp.broadcast_to(rays_t[:, None, :], (N, K, 1)).reshape(N * K, 1)
+    light_flat = jnp.broadcast_to(light_d[:, None, :], (N, K, 3)).reshape(-1, 3)
+    dirs_unit = safe_normalize(rays_d)
+
+    sdf, sigmas, rgbs, normals, deform, normal_raw = field.forward(
+        params, spec, x_flat, t_flat, light_d=light_flat, ratio=ambient_ratio,
+        shading_id=shading_id, cano=cano, compute_normals=rcfg.compute_normals,
+        max_level=max_level)
+
+    sdf = sdf.reshape(N, K)
+    sigmas = sigmas.reshape(N, K)
+    rgbs = rgbs.reshape(N, K, 3)
+
+    weights, trans, alphas = volrender.render_weights(t_starts, t_ends, sigmas,
+                                                      mask)
+    opacity = volrender.accumulate(weights)                      # (N, 1)
+    depth = volrender.accumulate(weights, t_mid[..., None])[..., 0]  # (N,)
+    rgb = volrender.accumulate(weights, rgbs)                    # (N, 3)
+
+    if bg_color is None:
+        if rcfg.bg_radius > 0 and cano and (not real_view):
+            bg_color = field.background(params, spec, rays_d, rays_t)
+        else:
+            bg_color = 1.0
+    image = rgb + (1.0 - opacity) * bg_color
+
+    out = {
+        "image": image, "depth": depth, "opacity": opacity[..., 0],
+        "weights": weights, "mask": mask, "sdf": sdf, "t_mid": t_mid,
+    }
+
+    if not train:
+        return out
+
+    normals_nk = None
+    if rcfg.compute_normals and normals is not None:
+        normals_nk = normals.reshape(N, K, 3)
+        # orientation loss (morpheus.py:709-712); weights detached
+        out["loss_orient"] = losses.orientation_loss(
+            jax.lax.stop_gradient(weights), normals_nk,
+            dirs_unit[:, None, :], mask)
+
+        if rcfg.normal_smooth_3d:
+            # random 3-D perturbation, canonical-space normals with zero topo
+            # (morpheus.py:714-741, topo_none branch)
+            xp = x_flat + jax.random.normal(k_perturb, x_flat.shape) \
+                * rcfg.smoothness_std
+            if rcfg.topo_none:
+                n_p, _ = field.normal(params, spec, xp, topo=None, cano=cano,
+                                      max_level=max_level)
+            else:
+                topo_p = field.get_topo(params, spec, xp, t_flat, max_level)
+                n_p, _ = field.normal(params, spec, xp, topo=topo_p, cano=cano,
+                                      max_level=max_level)
+            out["loss_normal_perturb"] = losses.normal_perturb_loss(
+                normals_nk, n_p.reshape(N, K, 3), mask)
+
+        if normal_raw is not None:
+            out["normal_raw_eik"] = losses.eikonal_loss(
+                normal_raw.reshape(N, K, 3), mask)
+
+    if rcfg.code_reg and not cano:
+        # temporal second-difference code smoothness (morpheus.py:762-771)
+        t0 = rays_t[:1]
+        dt = 1.0 / rcfg.num_frames
+        code = field.get_deform_code(params, t0)
+        code_prev = field.get_deform_code(params, t0 - dt)
+        code_next = field.get_deform_code(params, t0 + dt)
+        out["loss_code"] = losses.code_smoothness(code, code_prev, code_next)
+
+    if rcfg.normal_smoothness:
+        out["normal_reg"] = _surface_band_normal_smoothness(
+            params, spec, k_smooth, rays_o, rays_d, rays_t, depth, rcfg,
+            max_level)
+
+    if rays_depth is not None:
+        fs_loss, sdf_loss = losses.sdf_losses(
+            t_mid, rays_depth.reshape(N, 1), sdf, rcfg.trunc, mask,
+            ray_mask=rays_mask.reshape(N, 1) if rays_mask is not None else None)
+        out["fs_loss"] = fs_loss
+        out["sdf_loss"] = sdf_loss
+
+    if deform is not None:
+        out["deform_abs"] = jnp.mean(jnp.abs(deform))
+
+    return out
+
+
+def _ortho_normal_dir(key, normals):
+    """Random direction orthogonal to the normals (morpheus.py:518-528)."""
+    n = safe_normalize(normals)
+    u = safe_normalize(n[..., jnp.array([1, 0, 2])]
+                       * jnp.array([1.0, -1.0, 0.0]))
+    v = jnp.cross(n, u)
+    phi = jax.random.uniform(key, normals.shape[:-1] + (1,)) * 2.0 * jnp.pi
+    return jnp.cos(phi) * u + jnp.sin(phi) * v
+
+
+def _surface_band_normal_smoothness(params, spec, key, rays_o, rays_d, rays_t,
+                                    depth, rcfg: RenderConfig, max_level):
+    """L_smooth in observation space near the rendered surface
+    (morpheus.py:530-556). The reference filters points with |x|<1.1 to a ragged
+    set; here the filter is a weight mask over the fixed (P, N) ladder."""
+    k1, k2 = jax.random.split(key)
+    P = int(rcfg.trunc * 100 + 1)
+    ladder = jnp.linspace(-0.5 * rcfg.trunc, 0.5 * rcfg.trunc, P)
+    ladder = ladder + 0.01 * jax.random.uniform(k1, (P,))
+
+    depth_sg = jax.lax.stop_gradient(depth)
+    pts = (depth_sg[None, :] + ladder[:, None])[..., None] * rays_d[None] \
+        + rays_o[None]                                           # (P, N, 3)
+    pts = pts.reshape(-1, 3)
+    ts = jnp.broadcast_to(rays_t[None], (P,) + rays_t.shape).reshape(-1, 1)
+    in_band = jnp.linalg.norm(pts, axis=-1) < rcfg.outside_radius
+
+    n1, _ = field.normal(params, spec, pts, t=ts, max_level=max_level)
+    w = _ortho_normal_dir(k2, n1)
+    n2, _ = field.normal(params, spec, pts + w * rcfg.smoothness_std, t=ts,
+                         max_level=max_level)
+    sq = jnp.sum((n1 - n2) ** 2, -1) / 3.0
+    return jnp.sum(jnp.where(in_band, sq, 0.0)) / (jnp.sum(in_band) + 1e-8)

@@ -1,0 +1,63 @@
+"""Small shared utilities (reference: utils.py, morpheus.py:75-103,360-364)."""
+from __future__ import annotations
+
+import os
+import random
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def seed_everything(seed: int) -> jax.Array:
+    """Seed python/numpy and return a JAX PRNG key (reference: utils.py:63-68)."""
+    random.seed(seed)
+    os.environ["PYTHONHASHSEED"] = str(seed)
+    np.random.seed(seed)
+    return jax.random.PRNGKey(seed)
+
+
+def safe_normalize(x: jnp.ndarray, eps: float = 1e-20) -> jnp.ndarray:
+    """L2-normalize along the last axis (reference: utils.py:70-71)."""
+    return x / jnp.sqrt(jnp.clip(jnp.sum(x * x, -1, keepdims=True), min=eps))
+
+
+def mse2psnr(x: jnp.ndarray) -> jnp.ndarray:
+    return -10.0 * jnp.log(x) / jnp.log(10.0)
+
+
+def coordinates(voxel_dim, flatten: bool = True) -> np.ndarray:
+    """Integer grid coordinates of a voxel volume (reference: utils.py:76-89)."""
+    if isinstance(voxel_dim, int):
+        nx = ny = nz = voxel_dim
+    else:
+        nx, ny, nz = voxel_dim
+    x, y, z = np.meshgrid(np.arange(nx), np.arange(ny), np.arange(nz), indexing="ij")
+    if not flatten:
+        return np.stack([x, y, z], axis=-1)
+    return np.stack([x.ravel(), y.ravel(), z.ravel()])
+
+
+class Logger:
+    """Append-to-file + console logger (reference: morpheus.py:92-103,360-364)."""
+
+    def __init__(self, workspace: str | None, log_name: str = "log.txt"):
+        self.workspace = workspace
+        self._fh = None
+        if workspace is not None:
+            os.makedirs(workspace, exist_ok=True)
+            self._fh = open(os.path.join(workspace, log_name), "a+")
+
+    def __call__(self, *args):
+        msg = " ".join(str(a) for a in args)
+        print(msg, flush=True)
+        if self._fh is not None:
+            stamp = time.strftime("%Y-%m-%d_%H-%M-%S")
+            print(f"[{stamp}] {msg}", file=self._fh)
+            self._fh.flush()
+
+    def close(self):
+        if self._fh is not None:
+            self._fh.close()
+            self._fh = None

@@ -1,0 +1,20 @@
+"""Tests run on CPU with 8 virtual devices so sharding paths are exercised
+without TPU hardware (see SURVEY.md §7 / driver contract)."""
+import os
+
+# force CPU even when the environment points JAX at a TPU tunnel
+# (JAX_PLATFORMS=axon) — tests must not occupy the real chip.
+# NOTE: jax may already be imported by a pytest plugin (jaxtyping), which
+# snapshots JAX_PLATFORMS at import — so set the config explicitly too.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", False)
+
+assert jax.default_backend() == "cpu", "tests must run on the CPU backend"
+assert len(jax.devices()) == 8, "expected 8 virtual CPU devices"

@@ -1,0 +1,127 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from morpheus_tpu.ops import hashgrid
+
+PRIMES = (1, 2654435761, 805459861)
+
+
+def naive_encode(x01, emb, spec):
+    """Slow float64 numpy reference of the grid lookup (independent impl)."""
+    B = x01.shape[0]
+    out = np.zeros((B, spec.num_levels * spec.level_dim))
+    offsets = spec.offsets
+    for level, res in enumerate(spec.resolutions):
+        hsize = offsets[level + 1] - offsets[level]
+        for b in range(B):
+            if np.any(x01[b] < 0) or np.any(x01[b] > 1):
+                continue
+            if spec.align_corners:
+                pos = x01[b] * (res - 1)
+                g0 = np.minimum(np.floor(pos), res - 2)
+            else:
+                pos = np.clip(x01[b] * res - 0.5, 0, res - 1)
+                g0 = np.floor(pos)
+            frac = pos - g0
+            if spec.interpolation == "smoothstep":
+                frac = frac * frac * (3 - 2 * frac)
+            acc = np.zeros(spec.level_dim)
+            D = spec.input_dim
+            for corner in range(1 << D):
+                w = 1.0
+                cg = np.zeros(D, dtype=np.uint64)
+                for d in range(D):
+                    if (corner >> d) & 1:
+                        w *= frac[d]
+                        cg[d] = min(g0[d] + 1, res - 1)
+                    else:
+                        w *= 1 - frac[d]
+                        cg[d] = g0[d]
+                stride, index = 1, 0
+                for d in range(D):
+                    if stride <= hsize:
+                        index += int(cg[d]) * stride
+                    stride *= res
+                if spec.gridtype == "hash" and stride > hsize:
+                    h = 0
+                    for d in range(D):
+                        h ^= (int(cg[d]) * PRIMES[d]) & 0xFFFFFFFF
+                    index = h
+                acc += w * emb[index % hsize + offsets[level]]
+            out[b, level * spec.level_dim:(level + 1) * spec.level_dim] = acc
+    return out
+
+
+def test_encode_matches_naive_dense_and_hash():
+    # small table so upper levels overflow into the hash path
+    spec = hashgrid.HashGridSpec(input_dim=3, num_levels=6, level_dim=2,
+                                 base_resolution=4, log2_hashmap_size=8,
+                                 desired_resolution=32)
+    key = jax.random.PRNGKey(0)
+    emb = jax.random.normal(key, (spec.table_size, spec.level_dim))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (64, 3), minval=-1, maxval=1)
+    got = np.asarray(hashgrid.encode(x, emb, spec, bound=1.0))
+    ref = naive_encode(np.asarray((x + 1) / 2, np.float64), np.asarray(emb), spec)
+    np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_out_of_range_inputs_zero():
+    spec = hashgrid.HashGridSpec(num_levels=2, base_resolution=4,
+                                 desired_resolution=8, log2_hashmap_size=10)
+    emb = jnp.ones((spec.table_size, spec.level_dim))
+    x = jnp.array([[2.0, 0.0, 0.0], [0.1, 0.2, 0.3]])
+    out = np.asarray(hashgrid.encode(x, emb, spec, bound=1.0))
+    assert np.all(out[0] == 0)
+    assert np.all(out[1] != 0)
+
+
+def test_max_level_masks_levels():
+    spec = hashgrid.HashGridSpec(num_levels=8, base_resolution=4,
+                                 desired_resolution=64, log2_hashmap_size=12)
+    emb = jnp.ones((spec.table_size, spec.level_dim))
+    x = jnp.zeros((3, 3))
+    out = np.asarray(hashgrid.encode(x, emb, spec, bound=1.0, max_level=0.5))
+    C = spec.level_dim
+    assert np.all(out[:, :4 * C] != 0)        # ceil(0.5*8)=4 active levels
+    assert np.all(out[:, 4 * C:] == 0)
+    # traced max_level
+    out_j = jax.jit(lambda ml: hashgrid.encode(x, emb, spec, 1.0, ml))(
+        jnp.asarray(0.5))
+    np.testing.assert_allclose(out_j, out)
+
+
+def test_gradients_flow_to_embeddings_and_inputs():
+    spec = hashgrid.HashGridSpec(num_levels=4, base_resolution=4,
+                                 desired_resolution=32, log2_hashmap_size=10)
+    emb = hashgrid.init_embeddings(jax.random.PRNGKey(0), spec) + 0.01
+    x = jax.random.uniform(jax.random.PRNGKey(1), (16, 3), minval=-0.9,
+                           maxval=0.9)
+
+    def loss(e, xx):
+        return jnp.sum(hashgrid.encode(xx, e, spec) ** 2)
+
+    ge, gx = jax.grad(loss, argnums=(0, 1))(emb, x)
+    assert float(jnp.abs(ge).sum()) > 0
+    assert float(jnp.abs(gx).sum()) > 0
+    # finite-difference check of input grads
+    eps = 1e-3
+    d = jnp.zeros_like(x).at[0, 0].set(eps)
+    fd = (loss(emb, x + d) - loss(emb, x - d)) / (2 * eps)
+    np.testing.assert_allclose(fd, gx[0, 0], rtol=2e-2, atol=1e-3)
+
+
+def test_offsets_match_reference_formula():
+    spec = hashgrid.HashGridSpec(input_dim=3, num_levels=16, level_dim=2,
+                                 base_resolution=16, log2_hashmap_size=15,
+                                 desired_resolution=128)
+    offs = spec.offsets
+    assert len(offs) == 17
+    assert offs[0] == 0
+    # the reference's ceil(base * scale^level) yields 129 at the top level too
+    # (grid.py:129 with desired_resolution=128)
+    assert spec.resolutions[0] == 16 and spec.resolutions[-1] == 129
+    for i, res in enumerate(spec.resolutions):
+        n = min(2 ** 15, res ** 3)
+        n = int(np.ceil(n / 8) * 8)
+        assert offs[i + 1] - offs[i] == n
