@@ -118,6 +118,7 @@ DEFAULTS: dict[str, dict[str, Any]] = {
         "zero123_guidance_scale": 5.0,
         "zero123_train": "cur_or_one",
         "zero123_grad_weight": 0.01,
+        "image_size": 256,   # SDS render resolution (latents image_size/8)
     },
     # TPU-native knobs (no reference equivalent).
     "tpu": {

@@ -242,7 +242,7 @@ class VirtualViewSampler:
         delta_azimuth = phis - self.phi[frame_idx]
         delta_azimuth = jnp.where(delta_azimuth > 180, delta_azimuth - 360,
                                   delta_azimuth)
-        delta_radius = radius - self.radius[frame_idx]
+        delta_radius = jnp.reshape(radius - self.radius[frame_idx], (1,))
         return {
             "rays_o": rays_o, "rays_d": rays_d,
             "rays_t": jnp.full((N, 1), t_norm),

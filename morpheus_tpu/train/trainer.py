@@ -32,14 +32,23 @@ class TrainState(NamedTuple):
     ema: dict
     occ: occupancy.OccupancyState
     global_step: jnp.ndarray
+    # virtual-step gradients carried into the next real step once the deform
+    # freeze ends (reference accumulates .grad across the virtual→real
+    # boundary, morpheus.py:1393-1424)
+    pending_grads: dict | None = None
 
 
 class Trainer:
     def __init__(self, config: dict, dataset: data_lib.DeformDataset,
-                 guidance=None, workspace: str | None = None, seed: int | None = None):
+                 guidance=None, guidance_spec=None,
+                 workspace: str | None = None, seed: int | None = None):
         self.config = config
         self.dataset = dataset
         self.guidance = guidance
+        if guidance is not None and guidance_spec is None:
+            from ..guidance.zero123 import Zero123Spec
+            guidance_spec = Zero123Spec()
+        self.guidance_spec = guidance_spec
         self.workspace = workspace or os.path.join(config["exp"]["output"],
                                                    config["exp"]["exp_name"])
         seed = config["exp"].get("seed", 2024) if seed is None else seed
@@ -81,9 +90,13 @@ class Trainer:
             params=params, opt_state=opt_state,
             ema=optim.ema_init(params),
             occ=occupancy.init_occupancy(config["tpu"]["occ_resolution"]),
-            global_step=jnp.zeros((), jnp.int32))
+            global_step=jnp.zeros((), jnp.int32),
+            pending_grads=jax.tree.map(jnp.zeros_like, params))
         self.epoch = 0
         self._jit_cache: dict = {}
+        self._embeddings = None
+        if guidance is not None:
+            self._embeddings = self.precompute_embeddings(guidance)
 
     # ---- pieces used inside jit ----
 
@@ -228,6 +241,9 @@ class Trainer:
 
             (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 state.params)
+            # fold in any carried virtual-step gradients (morpheus.py:1415-1424)
+            grads = jax.tree.map(jnp.add, grads, state.pending_grads)
+            zeros = jax.tree.map(jnp.zeros_like, state.pending_grads)
             if self.optim_name == "adan":
                 opt_state, params = optim.adan_update(
                     state.opt_state, grads, state.params, lr, 0.0)
@@ -235,9 +251,184 @@ class Trainer:
                 opt_state, params = optim.adam_update(
                     state.opt_state, grads, state.params, lr, 0.0)
             return TrainState(params, opt_state, state.ema, occ,
-                              step + 1), loss
+                              step + 1, zeros), loss
 
         return real_step
+
+    # ---- Zero123 SDS virtual steps ----
+
+    def precompute_embeddings(self, guidance):
+        """Per-keyframe CLIP embeddings + VAE latents of masked 256² frames
+        (reference get_embeddings, morpheus.py:218-277)."""
+        import cv2
+        from ..guidance import zero123 as z123
+
+        ds = self.dataset
+        kf = np.arange(0, ds.num_frames, self.config["train"]["kf_every"])
+        if (ds.num_frames - 1) not in kf:
+            kf = np.concatenate([kf, [ds.num_frames - 1]])
+
+        imgs = []
+        for i in kf:
+            m = (ds.masks[i] > 0.5).astype(np.float32)
+            masked = ds.images[i] * m[..., None] + (1.0 - m[..., None])
+            gsz = self.guidance_spec.image_size
+            masked = cv2.resize(masked, (gsz, gsz),
+                                interpolation=cv2.INTER_AREA).astype(np.float32)
+            imgs.append(masked)
+        imgs = jnp.asarray(np.stack(imgs))
+
+        spec = self.guidance_spec
+        embed = jax.jit(lambda im: (z123.clip_image_embed(guidance, im, spec),
+                                    z123.vae_encode_mode(guidance, im)))
+        c_crossattn, c_concat = [], []
+        for i in range(len(kf)):
+            c, v = embed(imgs[i:i + 1])
+            c_crossattn.append(c)
+            c_concat.append(v)
+
+        nearest = np.argmin(np.abs(kf[None, :] - np.arange(ds.num_frames)[:, None]),
+                            axis=1)
+        return {
+            "kf": jnp.asarray(kf, jnp.int32),
+            "nearest_kf": jnp.asarray(nearest, jnp.int32),   # frame -> kf slot
+            "c_crossattn": jnp.concatenate(c_crossattn, 0),  # (K, 1, 768)
+            "c_concat": jnp.concatenate(c_concat, 0),        # (K, 32, 32, 4)
+            "ref_polars": jnp.asarray(ds.theta)[jnp.asarray(kf)],
+            "ref_azimuths": jnp.asarray(ds.phi)[jnp.asarray(kf)],
+            "ref_radii": jnp.asarray(ds.radius)[jnp.asarray(kf)],
+        }
+
+    def _virtual_loss(self, params, occ, key, epoch, max_level, sampler):
+        """Virtual-view SDS loss (reference train_step(real_view=False),
+        morpheus.py:1147-1236 + get_virtual_view_loss :1044-1088)."""
+        from ..guidance import zero123 as z123
+
+        cfg = self.config
+        tr, gd = cfg["train"], cfg["guidance"]
+        emb = self._embeddings
+        g = self.guidance
+        k_v, k_shade, k_amb, k_bg, k_bgsel, k_r, k_sds, k_pick = \
+            jax.random.split(key, 8)
+
+        batch = sampler.sample(k_v)
+        H, W = batch["H"], batch["W"]
+        N = H * W
+
+        # shading selection (morpheus.py:864-887)
+        exp_ratio = jnp.asarray(epoch, jnp.float32) / self.curr.n_epochs
+        albedo_phase = exp_ratio <= self.curr.albedo_iter_ratio
+        u = jax.random.uniform(k_shade)
+        shading_rand = jnp.where(u >= 1.0 - tr["textureless_ratio"],
+                                 field.SHADING_TEXTURELESS,
+                                 field.SHADING_LAMBERTIAN)
+        shading_id = jnp.where(albedo_phase, field.SHADING_ALBEDO,
+                               shading_rand)
+        min_amb = tr["min_ambient_ratio"]
+        ambient = jnp.where(albedo_phase, 1.0,
+                            min_amb + (1.0 - min_amb) * jax.random.uniform(k_amb))
+
+        # background color (morpheus.py:889-903): single random color or bg_net
+        rand_bg = jnp.broadcast_to(jax.random.uniform(k_bg, (3,)), (N, 3))
+        if cfg["model"]["bg_radius"] > 0:
+            bg_net_col = field.background(params, self.spec, batch["rays_d"],
+                                          batch["rays_t"], max_level)
+            use_net = jax.random.uniform(k_bgsel) > 0.5
+            bg_color = jnp.where(use_net, bg_net_col, rand_bg)
+        else:
+            bg_color = rand_bg
+
+        out = renderer.render_rays(
+            params, self.spec, occ, k_r,
+            batch["rays_o"], batch["rays_d"], batch["rays_t"], batch["rays_id"],
+            self.rcfg, bg_color=bg_color, ambient_ratio=ambient,
+            shading_id=shading_id, real_view=False, optimize_pose=False,
+            max_level=max_level, train=True)
+
+        pred = jnp.clip(out["image"].reshape(1, H, W, 3), 0.0, 1.0)
+        gsz = self.guidance_spec.image_size
+        pred256 = jax.image.resize(pred, (1, gsz, gsz, 3), "bilinear")
+
+        # keyframe choice: nearest or frame 0 ('cur_or_one',
+        # morpheus.py:1044-1079)
+        slot_near = emb["nearest_kf"][batch["frame_idx"]]
+        use_cur = jax.random.uniform(k_pick) > 0.5
+        slot = jnp.where(use_cur, slot_near, 0)
+
+        # Δangles wrt the chosen keyframe's reference view
+        polar_t = batch["polar"][0] + emb["ref_polars"][slot_near]
+        azim_t = batch["azimuth"][0] + emb["ref_azimuths"][slot_near]
+        rad_t = batch["radius"][0] + emb["ref_radii"][slot_near]
+        polar_k = polar_t - emb["ref_polars"][slot]
+        azim_k = azim_t - emb["ref_azimuths"][slot]
+        azim_k = jnp.where(azim_k > 180.0, azim_k - 360.0, azim_k)
+        rad_k = rad_t - emb["ref_radii"][slot]
+
+        gs = z123.angle_grad_scale(
+            polar_k, azim_k, rad_k, emb["ref_polars"][slot],
+            emb["ref_azimuths"][slot], emb["ref_radii"][slot],
+            gd["zero123_grad_weight"])
+
+        t_lo, t_hi = self.curr.sds_t_range(epoch)
+        min_step = (t_lo * 1000).astype(jnp.int32)
+        max_step = (t_hi * 1000).astype(jnp.int32)
+
+        loss_sds, _, _ = z123.sds_loss(
+            g, k_sds, pred256,
+            emb["c_crossattn"][slot][None], emb["c_concat"][slot][None],
+            polar_k, azim_k, rad_k, min_step, max_step,
+            guidance_scale=gd["zero123_guidance_scale"], grad_scale=gs,
+            spec=self.guidance_spec)
+
+        ori_w, rgb_w, beta_w = self.curr.loss_weights(epoch)
+        loss = loss_sds + self._reg_loss(params, out, ori_w, beta_w, epoch)
+        return loss, out
+
+    def _make_virtual_step(self, sampler):
+        curr = self.curr
+        vf = self.config["train"]["virtual_freq"]
+
+        @jax.jit
+        def virtual_step(state: TrainState, key, epoch):
+            step = state.global_step
+            lr = curr.learning_rate(epoch)
+            max_level = curr.max_level(epoch)
+            freeze = curr.freeze_deform(epoch)
+            k_occ, k_loss, k_t = jax.random.split(key, 3)
+
+            t_occ = jax.random.uniform(k_t)
+            occ = self._maybe_update_occ(state.occ, state.params, k_occ, step,
+                                         t_occ)
+
+            def loss_fn(params):
+                loss, _ = self._virtual_loss(params, occ, k_loss, epoch,
+                                             max_level, sampler)
+                return loss
+
+            loss, grads = jax.value_and_grad(loss_fn)(state.params)
+            grads = jax.tree.map(lambda a: a / vf, grads)
+
+            # freeze active: optimizer step now with deform groups frozen;
+            # else: carry gradients into the next real step
+            def apply_now(_):
+                if self.optim_name == "adan":
+                    os_, p_ = optim.adan_update(state.opt_state, grads,
+                                                state.params, lr, 1.0)
+                else:
+                    os_, p_ = optim.adam_update(state.opt_state, grads,
+                                                state.params, lr, 1.0)
+                return os_, p_, jax.tree.map(jnp.zeros_like, grads)
+
+            def carry(_):
+                return (state.opt_state, state.params,
+                        jax.tree.map(jnp.add, state.pending_grads, grads))
+
+            opt_state, params, pending = jax.lax.cond(freeze > 0.5, apply_now,
+                                                      carry, None)
+            return TrainState(params, opt_state, state.ema, occ, step + 1,
+                              pending), loss
+
+        return virtual_step
 
     def _make_ema_step(self):
         decay = self.config["train"]["ema_decay"]
@@ -248,8 +439,20 @@ class Trainer:
                                                        decay))
         return ema_step
 
-    # ---- epoch loop (recon-only; SDS virtual steps are added by the
-    #      guidance-aware trainer in guidance/sds_trainer.py) ----
+    # ---- epoch loop (reference train_one_epoch, morpheus.py:1377-1433) ----
+
+    def _novel_view_scale(self) -> float:
+        d = self.config["data"]
+        return (d["novel_view_scale_final"] if self.epoch > 800
+                else d["novel_view_scale"])
+
+    def _virtual_step_for_scale(self, scale: float):
+        key = f"virtual_{scale}"
+        if key not in self._jit_cache:
+            sampler = data_lib.VirtualViewSampler(self.dataset, self.config,
+                                                  scale)
+            self._jit_cache[key] = self._make_virtual_step(sampler)
+        return self._jit_cache[key]
 
     def train_one_epoch(self, n_iters: int | None = None):
         tr = self.config["train"]
@@ -258,12 +461,26 @@ class Trainer:
             self._jit_cache["real"] = self._make_real_step()
             self._jit_cache["ema"] = self._make_ema_step()
         real_step = self._jit_cache["real"]
+        use_sds = self.guidance is not None
+        virtual_step = (self._virtual_step_for_scale(self._novel_view_scale())
+                        if use_sds else None)
         epoch = jnp.asarray(self.epoch, jnp.float32)
         loss = jnp.nan
+        host_step = getattr(self, "_host_step", 0)
         for _ in range(n_iters):
+            for _ in range(tr["virtual_freq"]):
+                self.key, k = jax.random.split(self.key)
+                # warm-up forces real views (morpheus.py:1174-1175)
+                if use_sds and host_step >= tr["warm_up_steps"]:
+                    self.state, loss = virtual_step(self.state, k, epoch)
+                else:
+                    self.state, loss = real_step(self.state, k, epoch)
+                host_step += 1
             for _ in range(tr["real_freq"]):
                 self.key, k = jax.random.split(self.key)
                 self.state, loss = real_step(self.state, k, epoch)
+                host_step += 1
+        self._host_step = host_step
         self.state = self._jit_cache["ema"](self.state)
         return float(loss)
 
@@ -300,5 +517,8 @@ class Trainer:
             occ=occupancy.OccupancyState(
                 occs=jnp.asarray(st["occ"].occs),
                 binaries=jnp.asarray(st["occ"].binaries)),
-            global_step=jnp.asarray(st["global_step"]))
+            global_step=jnp.asarray(st["global_step"]),
+            pending_grads=jax.tree.map(
+                jnp.asarray, st.get("pending_grads")) if st.get("pending_grads")
+            is not None else jax.tree.map(jnp.zeros_like, st["params"]))
         self.epoch = payload["epoch"]
