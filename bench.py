@@ -20,10 +20,8 @@ BASELINE_RAYS_PER_SEC = 30000.0
 
 
 def main():
-    # persistent compilation cache: the step graph takes minutes to compile
-    # cold; repeat bench runs on the same host reuse the cache
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_comp_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    from morpheus_tpu.utils import setup_compilation_cache
+    setup_compilation_cache()
 
     from morpheus_tpu.config import merge_defaults
     from morpheus_tpu.data import dataset as data_lib

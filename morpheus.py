@@ -25,6 +25,8 @@ def main(argv=None):
     from morpheus_tpu.vis import video as video_lib
 
     config = parse_cli(argv)
+    from morpheus_tpu.utils import setup_compilation_cache
+    setup_compilation_cache()
     workspace = os.path.join(config["exp"]["output"], config["exp"]["exp_name"])
     os.makedirs(workspace, exist_ok=True)
     log = Logger(workspace, config["exp"]["log"])

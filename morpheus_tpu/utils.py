@@ -10,6 +10,16 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def setup_compilation_cache(path: str = "/tmp/jax_comp_cache") -> None:
+    """Enable JAX's persistent compilation cache — the train-step graph takes
+    minutes to compile cold on TPU; reruns on the same host then start fast."""
+    try:
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+    except Exception:
+        pass
+
+
 def seed_everything(seed: int) -> jax.Array:
     """Seed python/numpy and return a JAX PRNG key (reference: utils.py:63-68)."""
     random.seed(seed)

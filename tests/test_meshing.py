@@ -61,3 +61,20 @@ def test_ply_roundtrip(tmp_path):
     v3, f3, c3 = meshing.load_ply(p2)
     np.testing.assert_allclose(v3, verts, atol=1e-6)
     assert c3 is None
+
+
+def test_native_backend_matches_numpy():
+    import pytest
+    try:
+        from morpheus_tpu.native import mcubes_native
+        res = 32
+        sdf = _sphere_sdf(res, 0.5).astype(np.float32)
+        v1, f1 = mcubes_native.marching_cubes(sdf, 0.0)
+    except Exception:
+        pytest.skip("native toolchain unavailable")
+    v2, f2 = meshing.marching_tetrahedra(sdf, 0.0)
+    assert len(v1) == len(v2) and len(f1) == len(f2)
+    # same vertex set (order may differ)
+    s1 = np.sort(np.round(v1, 4).view([('x','f4'),('y','f4'),('z','f4')]), axis=0)
+    s2 = np.sort(np.round(v2, 4).view([('x','f4'),('y','f4'),('z','f4')]), axis=0)
+    assert np.array_equal(s1, s2)
