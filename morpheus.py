@@ -55,6 +55,13 @@ def main(argv=None):
 
     trainer = Trainer(config, dataset, guidance=guidance, workspace=workspace)
 
+    clip_encoder = None
+    clip_ckpt = config["exp"].get("clip_ckpt", "")
+    if clip_ckpt and os.path.exists(clip_ckpt):
+        from morpheus_tpu.eval.clip_eval import ImageEncoder
+        clip_encoder = ImageEncoder.from_clip_checkpoint(clip_ckpt)
+        log(f"Loaded CLIP eval encoder from {clip_ckpt}")
+
     mesh_dir = os.path.join(workspace, "mesh")
     mesh_export.export_mesh(trainer.state.params, trainer.spec,
                             os.path.join(mesh_dir, "init.ply"), cano=True)
@@ -81,7 +88,9 @@ def main(argv=None):
             video_lib.render_test_video(trainer, results, "test_180", phis=0.5)
             video_lib.render_test_video(trainer, results, "test_cano", cano=True)
             video_lib.render_test_video(trainer, results, "test_360",
-                                        view_360=True)
+                                        view_360=True,
+                                        eval_clip=clip_encoder is not None,
+                                        clip_encoder=clip_encoder, log=log)
             video_lib.render_test_video(trainer, results, "test_real",
                                         real_view=True)
 
@@ -91,19 +100,38 @@ def main(argv=None):
                 os.path.join(mesh_dir, f"mesh_{epoch:04d}.ply"), cano=True)
 
         if epoch % exp["mesh_all_interval"] == 0 or epoch == max_epochs:
+            from morpheus_tpu.vis import mesh_video
             mesh_all_dir = os.path.join(workspace, "mesh_all")
             resolution = 128 if epoch != max_epochs else 256
             mesh_export.export_all_meshes(
                 trainer.state.params, trainer.spec, mesh_all_dir,
                 dataset.num_frames, epoch, resolution=resolution)
+
+            images_real = os.path.join(workspace, "images_real",
+                                       f"image_{epoch:04d}")
+            images_360 = os.path.join(workspace, "images_360",
+                                      f"image_{epoch:04d}")
+            video_dir = os.path.join(workspace, "videos")
+            depth_dir = os.path.join(workspace, "depths",
+                                     f"depths_{epoch:04d}")
+            mesh_video.render_all_meshes(trainer, mesh_all_dir, images_real,
+                                         video_dir, epoch, scale=1,
+                                         save_depths_dir=depth_dir)
+            mesh_video.render_all_meshes(trainer, mesh_all_dir, images_360,
+                                         video_dir, epoch, view_360=True,
+                                         video_name="video_360")
+
             if epoch % exp["mesh_all_eval_interval"] == 0 or epoch == max_epochs:
-                from morpheus_tpu.eval.culling import eval_mesh
+                from morpheus_tpu.eval.culling import eval_depthL1, eval_mesh
                 t1 = threading.Thread(
                     target=eval_mesh,
                     args=(workspace, mesh_all_dir, dataset,
                           f"mesh_{epoch:04d}", epoch))
+                t2 = threading.Thread(target=eval_depthL1,
+                                      args=(depth_dir, dataset))
                 t1.start()
-                eval_threads.append(t1)
+                t2.start()
+                eval_threads.extend([t1, t2])
 
     for t in eval_threads:
         t.join()

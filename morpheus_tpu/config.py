@@ -48,6 +48,8 @@ DEFAULTS: dict[str, dict[str, Any]] = {
         "mesh_all_interval": 400,
         "mesh_all_eval_interval": 400,
         "seed": 2024,
+        "clip_ckpt": "",   # optional OpenAI CLIP ViT-B/32 weights for eval
+
     },
     "render": {
         "step_size": 0.01,

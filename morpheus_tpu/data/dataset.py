@@ -251,3 +251,51 @@ class VirtualViewSampler:
             "radius": delta_radius, "frame_idx": frame_idx,
             "H": self.H, "W": self.W,
         }
+
+
+class RenderDataset(DeformDataset):
+    """World-space rendering dataset: adds the raw and NDR (normalized) camera
+    spaces on top of the training layout (reference: datasets/dataset.py
+    RenderDataset :581-694). Raw frames live under rgb/ depth/ mask/; the NDR
+    space comes from cameras_sphere.npz (world+scale matrices)."""
+
+    def __init__(self, config: dict, scene: dict | None = None):
+        super().__init__(config, scene=scene)
+        self.raw = self._load_raw(config["data"]["data_dir"])
+        self.poses_ndr, self.K_ndr, self.sc_ndr = self._load_ndr(
+            config["data"]["data_dir"])
+        self.poses_raw = np.stack(
+            [np.diag([1.0, -1.0, -1.0, 1.0]) for _ in range(self.num_frames)])
+        self.K_raw = self.K_ndr
+
+    def _load_raw(self, data_dir):
+        import cv2
+        from glob import glob as _glob
+        depth_scale = self.cfg["data"]["depth_scale"]
+        p_images = sorted(_glob(os.path.join(data_dir, "rgb/*.png"))) or \
+            sorted(_glob(os.path.join(data_dir, "rgb/*.jpg")))
+        p_depths = sorted(_glob(os.path.join(data_dir, "depth/*.png")))
+        p_masks = sorted(_glob(os.path.join(data_dir, "mask/*.png")))
+        images = np.stack([cv2.cvtColor(cv2.imread(p), cv2.COLOR_BGR2RGB)
+                           for p in p_images]).astype(np.float32) / 255.0
+        depths = np.stack([cv2.imread(p, cv2.IMREAD_UNCHANGED)
+                           for p in p_depths]).astype(np.float32) / depth_scale
+        masks_raw = np.stack([cv2.imread(p, cv2.IMREAD_UNCHANGED)
+                              for p in p_masks]).astype(np.float32)
+        if masks_raw.ndim == 4:
+            masks_raw = masks_raw[..., 0]
+        masks = masks_raw / max(masks_raw.max(), 1.0)
+        return {"images": images, "depths": depths, "masks": masks}
+
+    def _load_ndr(self, data_dir):
+        from .. import cameras as cam_lib
+        cams = np.load(os.path.join(data_dir, "cameras_sphere.npz"))
+        align = np.diag([1.0, -1.0, -1.0, 1.0])
+        poses, Ks = [], []
+        sc = float(cams["scale_mat_0"][0, 0])
+        for i in range(self.num_frames):
+            P = (cams[f"world_mat_{i}"] @ cams[f"scale_mat_{i}"])[:3, :4]
+            K, pose = cam_lib.load_K_Rt_from_P(P)
+            poses.append(align @ pose.astype(np.float64))
+            Ks.append(K[:3, :3])
+        return np.stack(poses), Ks[0], sc

@@ -89,3 +89,77 @@ def render_depth_map(vertices: np.ndarray, faces: np.ndarray,
 
     depth = depth.reshape(H, W)
     return np.where(np.isfinite(depth), depth, 0.0).astype(np.float32)
+
+
+def render_mesh_view(vertices: np.ndarray, faces: np.ndarray,
+                     c2w_gl: np.ndarray, K: np.ndarray, H: int, W: int,
+                     vertex_colors: np.ndarray | None = None,
+                     bg_color=1.0, shaded: bool = True,
+                     near: float = 0.01, far: float = 10.0):
+    """Shaded color render of a mesh — replaces Open3D offscreen visualization
+    (reference: tools/vis.py render_mesh_from_view / morpheus.py
+    render_all_meshes). Returns (rgb (H,W,3) float, depth (H,W)).
+
+    Depth pass via render_depth_map; the color pass splats per-face flat
+    attributes (mean vertex color × Lambert term on the face normal) for
+    pixels that won the z-test — exact enough for diagnostics videos given
+    screen-space-small triangles.
+    """
+    depth = render_depth_map(vertices, faces, c2w_gl, K, H, W, near, far)
+    rgb = np.full((H, W, 3), bg_color, np.float32)
+    if len(faces) == 0:
+        return rgb, depth
+
+    u, v, z = _project(np.asarray(vertices, np.float64), c2w_gl,
+                       np.asarray(K, np.float64))
+    tu, tv, tz = u[faces], v[faces], z[faces]
+
+    # per-face color: flat vertex-color mean × headlight Lambert shading
+    if vertex_colors is None:
+        base = np.full((len(faces), 3), 0.7, np.float32)
+    else:
+        base = vertex_colors[faces].mean(1).astype(np.float32)
+    if shaded:
+        tri = np.asarray(vertices, np.float64)[faces]
+        n = np.cross(tri[:, 1] - tri[:, 0], tri[:, 2] - tri[:, 0])
+        n /= np.linalg.norm(n, axis=-1, keepdims=True) + 1e-12
+        view = c2w_gl[:3, 2]   # headlight along the optical axis
+        lam = np.abs(n @ view)
+        base = base * (0.35 + 0.65 * lam[:, None])
+
+    in_front = np.all(tz > near, axis=1) & np.all(tz < far, axis=1)
+    xmin = np.floor(tu.min(1)).astype(np.int64)
+    ymin = np.floor(tv.min(1)).astype(np.int64)
+    xmax = np.ceil(tu.max(1)).astype(np.int64)
+    ymax = np.ceil(tv.max(1)).astype(np.int64)
+    onscreen = (xmax >= 0) & (ymax >= 0) & (xmin < W) & (ymin < H) & in_front
+    small = onscreen & (xmax - xmin < _BLOCK) & (ymax - ymin < _BLOCK)
+
+    sel = np.nonzero(small)[0]
+    if len(sel):
+        su, sv_, sz = tu[sel], tv[sel], tz[sel]
+        x0 = np.floor(su.min(1)).astype(np.int64)
+        y0 = np.floor(sv_.min(1)).astype(np.int64)
+        gx, gy = np.meshgrid(np.arange(_BLOCK), np.arange(_BLOCK),
+                             indexing="xy")
+        px = x0[:, None] + gx.ravel()[None, :] + 0.5
+        py = y0[:, None] + gy.ravel()[None, :] + 0.5
+        ax, ay = su[:, 0:1], sv_[:, 0:1]
+        v0x, v0y = su[:, 1:2] - ax, sv_[:, 1:2] - ay
+        v1x, v1y = su[:, 2:3] - ax, sv_[:, 2:3] - ay
+        v2x, v2y = px - ax, py - ay
+        den = v0x * v1y - v1x * v0y
+        den = np.where(np.abs(den) < 1e-12, 1e-12, den)
+        b1 = (v2x * v1y - v1x * v2y) / den
+        b2 = (v0x * v2y - v2x * v0y) / den
+        b0 = 1.0 - b1 - b2
+        cover = (b0 >= -1e-9) & (b1 >= -1e-9) & (b2 >= -1e-9)
+        iz = b0 / sz[:, 0:1] + b1 / sz[:, 1:2] + b2 / sz[:, 2:3]
+        zpix = 1.0 / np.maximum(iz, 1e-12)
+        inb = (px >= 0) & (px < W) & (py >= 0) & (py < H) & cover
+        flat = (py.astype(np.int64) * W + px.astype(np.int64))
+        won = inb & (zpix <= depth.reshape(-1)[np.clip(flat, 0, H * W - 1)]
+                     + 1e-4)
+        fidx, pidx = np.nonzero(won)
+        rgb.reshape(-1, 3)[flat[fidx, pidx]] = base[sel[fidx]]
+    return rgb, depth

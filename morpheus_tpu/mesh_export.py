@@ -21,12 +21,21 @@ def _query_chunk(params, p, t, spec, cano, return_color):
     return out["albedo"] if return_color else out["sdf"]
 
 
+@partial(jax.jit, static_argnames=("spec", "cano"))
+def _query_grid_scan(params, pts, t, spec, cano):
+    """Sequential lax.map over chunks — ONE device dispatch + ONE host
+    readback for the whole dense grid (per-chunk readbacks over the TPU
+    tunnel cost ~0.5 s each and dominated mesh export)."""
+    def body(p):
+        return field.query_density(params, spec, p, t=t, cano=cano,
+                                   return_color=False)["sdf"]
+    return jax.lax.map(body, pts)
+
+
 def query_sdf_grid(params: dict, spec: field.FieldSpec, resolution: int = 128,
                    t=None, cano: bool = False, chunk: int = 2 ** 18,
                    bound: float = 1.0) -> np.ndarray:
-    """Dense SDF over a [-1,1]^3 grid (chunked; morpheus.py:382-395). The
-    jitted chunk query is cached across frames/epochs (static spec/flags,
-    traced time)."""
+    """Dense SDF over a [-1,1]^3 grid (chunked; morpheus.py:382-395)."""
     lin = np.linspace(-bound, bound, resolution, dtype=np.float32)
     xx, yy, zz = np.meshgrid(lin, lin, lin, indexing="ij")
     pts = np.stack([xx.ravel(), yy.ravel(), zz.ravel()], -1)
@@ -34,18 +43,15 @@ def query_sdf_grid(params: dict, spec: field.FieldSpec, resolution: int = 128,
     cano = cano or t is None
     tval = jnp.asarray(0.0 if t is None else t, jnp.float32)
 
-    out = np.empty(pts.shape[0], np.float32)
     n = pts.shape[0]
     n_chunks = max(1, -(-n // chunk))
     csize = -(-n // n_chunks)
-    for i in range(0, n, csize):
-        p = pts[i:i + csize]
-        if len(p) < csize:
-            p = np.concatenate([p, np.zeros((csize - len(p), 3), np.float32)])
-        res = np.asarray(_query_chunk(params, jnp.asarray(p), tval, spec,
-                                      cano, False))
-        out[i:i + csize] = res[:len(pts[i:i + csize])]
-    return out.reshape(resolution, resolution, resolution)
+    pad = n_chunks * csize - n
+    if pad:
+        pts = np.concatenate([pts, np.zeros((pad, 3), np.float32)])
+    res = np.asarray(_query_grid_scan(params, jnp.asarray(
+        pts.reshape(n_chunks, csize, 3)), tval, spec, cano))
+    return res.reshape(-1)[:n].reshape(resolution, resolution, resolution)
 
 
 def export_mesh(params: dict, spec: field.FieldSpec, mesh_path: str,

@@ -69,15 +69,19 @@ def eval_render(params, spec, occ, rcfg, rays, key=None, cano: bool = False,
 def render_test_video(trainer, save_path: str, test_name: str = "test",
                       phis: float = 0.0, cano: bool = False,
                       real_view: bool = False, view_360: bool = False,
-                      fps: int = 25, scale: float = 1.0, write_video=True):
+                      fps: int = 25, scale: float = 1.0, write_video=True,
+                      eval_clip: bool = False, clip_encoder=None, log=print):
     """Render the per-frame diagnostic videos (morpheus.py:1285-1375), using
-    the EMA weights like the reference."""
+    the EMA weights like the reference. With eval_clip, scores CLIP cosine
+    similarity of each rendered frame against the masked GT frame
+    (morpheus.py:1339-1374)."""
     os.makedirs(save_path, exist_ok=True)
     name = f"{test_name}_ep{trainer.epoch:04d}"
     params = trainer.state.ema
     ds = trainer.dataset
     cfg = trainer.config
 
+    clip_total = 0.0
     preds, preds_depth = [], []
     sampler = data_lib.VirtualViewSampler(ds, cfg, scale=scale)
     for i in range(ds.num_frames):
@@ -99,11 +103,22 @@ def render_test_video(trainer, save_path: str, test_name: str = "test",
         img, dep, _ = eval_render(params, trainer.spec, trainer.state.occ,
                                   trainer.rcfg, rays, cano=cano,
                                   optimize_pose=real_view)
-        img = (np.clip(img.reshape(H, W, 3), 0, 1) * 255).astype(np.uint8)
+        img01 = np.clip(img.reshape(H, W, 3), 0, 1)
+        img = (img01 * 255).astype(np.uint8)
         dep = dep.reshape(H, W)
         dep = (dep - dep.min()) / (dep.max() - dep.min() + 1e-6)
         preds.append(img)
         preds_depth.append((dep * 255).astype(np.uint8))
+
+        if eval_clip and clip_encoder is not None:
+            gt_mask = (np.asarray(ds.masks[i]) > 0.5).astype(np.float32)
+            gt = np.asarray(ds.images[i]) * gt_mask[..., None] \
+                + (1.0 - gt_mask[..., None])
+            clip_total += clip_encoder.get_similarity_from_image(
+                img01[None], gt[None].astype(np.float32))
+
+    if eval_clip and clip_encoder is not None:
+        log(f"==> CLIP={clip_total / ds.num_frames:.4f} ({name})")
 
     if write_video:
         write_frames_video(os.path.join(save_path, f"{name}_rgb.mp4"),

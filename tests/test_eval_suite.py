@@ -1,0 +1,150 @@
+"""Eval suite tests: rasterizer, ICP, culling metrics, TSDF fusion, CLIP eval."""
+import numpy as np
+import pytest
+
+from morpheus_tpu import cameras
+from morpheus_tpu.eval import clip_eval, culling, icp, rasterizer, tsdf
+from morpheus_tpu.ops import meshing
+
+
+def _sphere_mesh(radius=0.5, res=48, center=(0, 0, 0)):
+    lin = np.linspace(-1, 1, res)
+    x, y, z = np.meshgrid(lin, lin, lin, indexing="ij")
+    sdf = np.sqrt((x - center[0]) ** 2 + (y - center[1]) ** 2
+                  + (z - center[2]) ** 2) - radius
+    vi, f = meshing.marching_tetrahedra(sdf)
+    return (vi / (res - 1) * 2 - 1).astype(np.float32), f
+
+
+def _camera(radius=2.5):
+    c2w = np.asarray(cameras.c2w_from_polar(np.array([radius]),
+                                            np.array([90.0]),
+                                            np.array([0.0])))[0]
+    K = np.array([[100.0, 0, 32], [0, 100.0, 32], [0, 0, 1.0]])
+    return c2w.astype(np.float64), K
+
+
+def test_rasterizer_depth_matches_analytic_sphere():
+    verts, faces = _sphere_mesh(0.5)
+    c2w, K = _camera()
+    depth = rasterizer.render_depth_map(verts, faces, c2w, K, 64, 64)
+    # center pixel depth = camera distance - radius = 2.0 (z-depth)
+    assert abs(depth[32, 32] - 2.0) < 0.05, depth[32, 32]
+    # background has no depth
+    assert depth[2, 2] == 0.0
+    # object covers a disc of the right size: r_pix ≈ f*R/z ≈ 100*0.5/2.3
+    cover = (depth > 0).sum()
+    r_pix = np.sqrt(cover / np.pi)
+    assert 18 < r_pix < 28, r_pix
+
+
+def test_render_mesh_view_colors():
+    verts, faces = _sphere_mesh(0.5)
+    colors = np.tile(np.array([[1.0, 0.0, 0.0]], np.float32), (len(verts), 1))
+    c2w, K = _camera()
+    rgb, depth = rasterizer.render_mesh_view(verts, faces, c2w, K, 64, 64,
+                                             vertex_colors=colors)
+    assert rgb.shape == (64, 64, 3)
+    center = rgb[32, 32]
+    assert center[0] > 0.3 and center[1] < 0.05   # red-ish object
+    np.testing.assert_allclose(rgb[2, 2], 1.0)    # white background
+
+
+def test_icp_recovers_known_transform():
+    rng = np.random.default_rng(0)
+    src = rng.uniform(-1, 1, (500, 3))
+    ang = 0.2
+    R = np.array([[np.cos(ang), -np.sin(ang), 0],
+                  [np.sin(ang), np.cos(ang), 0], [0, 0, 1.0]])
+    t = np.array([0.05, -0.03, 0.08])
+    dst = src @ R.T + t
+    T = icp.icp_point_to_point(src, dst, threshold=1.0)
+    got = src @ T[:3, :3].T + T[:3, 3]
+    np.testing.assert_allclose(got, dst, atol=1e-4)
+
+
+def test_robust_icp_with_outliers():
+    rng = np.random.default_rng(1)
+    src = rng.uniform(-1, 1, (800, 3))
+    ang = 0.15
+    R = np.array([[np.cos(ang), 0, np.sin(ang)], [0, 1, 0],
+                  [-np.sin(ang), 0, np.cos(ang)]])
+    t = np.array([0.1, 0.0, -0.05])
+    dst = src @ R.T + t
+    dst_noisy = np.concatenate([dst, rng.uniform(3, 5, (200, 3))], 0)
+    T = icp.robust_icp(src, dst_noisy, max_iter=60)
+    got = src @ T[:3, :3].T + T[:3, 3]
+    err = np.linalg.norm(got - dst, axis=-1).mean()
+    assert err < 0.02, err
+
+
+def test_3d_metrics_identical_and_shifted(tmp_path):
+    v, f = _sphere_mesh(0.5)
+    p1 = str(tmp_path / "a.ply")
+    meshing.save_ply(p1, v, f)
+    m = culling.calc_3d_metric(p1, p1, align=False, num_points=5000)
+    assert m["acc"] < 0.5 and m["comp"] < 0.5       # cm
+    assert m["comp ratio"] > 99.0
+    assert m["f_score"] > 99.0
+    # shifted mesh: ICP alignment should still give near-perfect metrics
+    p2 = str(tmp_path / "b.ply")
+    meshing.save_ply(p2, v + np.array([0.05, 0, 0], np.float32), f)
+    m2 = culling.calc_3d_metric(p2, p1, align=True, num_points=5000)
+    assert m2["acc"] < 0.5, m2
+    # without alignment the 5 cm shift shows up
+    m3 = culling.calc_3d_metric(p2, p1, align=False, num_points=5000)
+    assert m3["acc"] > 2.0, m3
+
+
+def test_culling_removes_backside(tmp_path):
+    v, f = _sphere_mesh(0.5)
+    p = str(tmp_path / "m.ply")
+    meshing.save_ply(p, v, f)
+    c2w, K = _camera()
+    # GT depth = rendered depth of the same mesh (everything visible is valid)
+    depth_gt = rasterizer.render_depth_map(v, f, c2w, K, 64, 64)
+    out = str(tmp_path / "culled.ply")
+    culling.cull_one_mesh(K, 64, 64, p, out, c2w, depth_gt, subdivide=True,
+                          max_edge=0.05)
+    cv, cf, _ = meshing.load_ply(out)
+    # culled mesh keeps only the camera-facing hemisphere(ish)
+    tri_centers = cv[cf].mean(1)
+    assert len(cf) > 100
+    # camera looks from +z: backside (z < -0.2) should be mostly gone
+    frac_back = (tri_centers[:, 2] < -0.2).mean()
+    assert frac_back < 0.05, frac_back
+
+
+def test_subdivide_to_size():
+    v, f = _sphere_mesh(0.5, res=12)
+    v2, f2 = culling.subdivide_to_size(v, f, max_edge=0.05)
+    tri = v2[f2]
+    e = np.linalg.norm(tri[:, 0] - tri[:, 1], axis=-1).max()
+    assert e <= 0.05 + 1e-6
+    assert len(f2) > len(f)
+
+
+def test_tsdf_fusion_reconstructs_sphere():
+    from morpheus_tpu.data.synthetic import make_synthetic_scene
+    scene = make_synthetic_scene(num_frames=6, H=64, W=64, radius=0.4,
+                                 motion=0.0)
+    vol = tsdf.run_tsdf_fusion(
+        scene["images"], scene["depths"], scene["masks"], scene["K"],
+        scene["poses"], voxel_size=0.05,
+        bounds=np.array([[-1.0, -1.0, -1.0], [1.0, 1.0, 1.0]]),
+        mask_out_object=False)
+    verts, faces, colors = vol.extract_mesh()
+    assert len(verts) > 50
+    r = np.linalg.norm(verts, axis=-1)
+    assert abs(np.median(r) - 0.4) < 0.08, np.median(r)
+
+
+def test_clip_eval_similarity_sanity():
+    enc = clip_eval.ImageEncoder()
+    rng = np.random.default_rng(0)
+    a = rng.uniform(size=(1, 64, 64, 3)).astype(np.float32)
+    b = rng.uniform(size=(1, 64, 64, 3)).astype(np.float32)
+    s_aa = enc.get_similarity_from_image(a, a)
+    s_ab = enc.get_similarity_from_image(a, b)
+    assert abs(s_aa - 1.0) < 1e-4
+    assert s_ab < s_aa
