@@ -71,3 +71,58 @@ class Logger:
         if self._fh is not None:
             self._fh.close()
             self._fh = None
+
+
+def get_device_mem() -> tuple[float, list[float]]:
+    """Per-device HBM usage in GB (reference get_GPU_mem, utils.py:46-53)."""
+    mems = []
+    for d in jax.local_devices():
+        try:
+            stats = d.memory_stats() or {}
+            mems.append(round(stats.get("bytes_in_use", 0) / 1024 ** 3, 3))
+        except Exception:
+            mems.append(0.0)
+    return sum(mems), mems
+
+
+class StepTimer:
+    """Lightweight per-phase step timing + optional jax.profiler traces
+    (SURVEY §5: the reference has no profiling; this is the TPU-native
+    observability layer)."""
+
+    def __init__(self, trace_dir: str | None = None):
+        self.trace_dir = trace_dir
+        self.totals: dict[str, float] = {}
+        self.counts: dict[str, int] = {}
+        self._tracing = False
+
+    def start_trace(self):
+        if self.trace_dir and not self._tracing:
+            jax.profiler.start_trace(self.trace_dir)
+            self._tracing = True
+
+    def stop_trace(self):
+        if self._tracing:
+            jax.profiler.stop_trace()
+            self._tracing = False
+
+    class _Span:
+        def __init__(self, timer, name):
+            self.timer, self.name = timer, name
+
+        def __enter__(self):
+            self.t0 = time.perf_counter()
+
+        def __exit__(self, *exc):
+            dt = time.perf_counter() - self.t0
+            t = self.timer
+            t.totals[self.name] = t.totals.get(self.name, 0.0) + dt
+            t.counts[self.name] = t.counts.get(self.name, 0) + 1
+
+    def span(self, name: str) -> "_Span":
+        return self._Span(self, name)
+
+    def summary(self) -> str:
+        return " ".join(
+            f"{k}={self.totals[k] / max(self.counts[k], 1) * 1000:.1f}ms"
+            for k in sorted(self.totals))
