@@ -33,6 +33,7 @@ class RenderConfig:
     compute_normals: bool = True
     normal_smooth_3d: bool = True
     normal_smoothness: bool = True
+    normal_smooth_2d: bool = False
     code_reg: bool = True
     outside_radius: float = 1.1
 
@@ -47,6 +48,7 @@ class RenderConfig:
             bg_radius=config["model"]["bg_radius"],
             normal_smooth_3d=tr["normal_smooth_3d"] > 0,
             normal_smoothness=tr["normal_smoothness"] > 0,
+            normal_smooth_2d=tr["normal_smooth_2d"] > 0,
             code_reg=tr["code_reg"] > 0,
         )
 
@@ -140,6 +142,11 @@ def render_rays(params: dict, spec: field.FieldSpec, occ_state, key,
         if normal_raw is not None:
             out["normal_raw_eik"] = losses.eikonal_loss(
                 normal_raw.reshape(N, K, 3), mask)
+
+        if rcfg.normal_smooth_2d and not real_view:
+            # accumulated normal image for 2-D smoothness (morpheus.py:773-776)
+            out["normal_image"] = volrender.accumulate(
+                weights, (normals_nk + 1.0) / 2.0)
 
     if rcfg.code_reg and not cano:
         # temporal second-difference code smoothness (morpheus.py:762-771)

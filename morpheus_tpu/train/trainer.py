@@ -382,6 +382,11 @@ class Trainer:
 
         ori_w, rgb_w, beta_w = self.curr.loss_weights(epoch)
         loss = loss_sds + self._reg_loss(params, out, ori_w, beta_w, epoch)
+        if tr["normal_smooth_2d"] > 0 and "normal_image" in out:
+            ni = out["normal_image"].reshape(H, W, 3)
+            loss += tr["normal_smooth_2d"] * (
+                jnp.mean((ni[1:] - ni[:-1]) ** 2)
+                + jnp.mean((ni[:, 1:] - ni[:, :-1]) ** 2))
         return loss, out
 
     def _make_virtual_step(self, sampler):
