@@ -106,10 +106,11 @@ class AutoencoderKL(nn.Module):
     """encode → (mean, logvar) via quant_conv; decode via post_quant_conv
     (autoencoder.py:285-330)."""
     embed_dim: int = 4
+    ch: int = 128
 
     def setup(self):
-        self.encoder = Encoder()
-        self.decoder = Decoder()
+        self.encoder = Encoder(ch=self.ch)
+        self.decoder = Decoder(ch=self.ch)
         self.quant_conv = nn.Conv(2 * self.embed_dim, (1, 1),
                                   name="quant_conv")
         self.post_quant_conv = nn.Conv(self.embed_dim, (1, 1),

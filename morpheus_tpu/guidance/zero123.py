@@ -36,6 +36,7 @@ class Zero123Spec:
     clip_layers: int = 24
     clip_heads: int = 16
     clip_patch: int = 14
+    vae_ch: int = 128
 
     @property
     def diffusion(self) -> schedule.DiffusionSchedule:
@@ -53,6 +54,9 @@ class Zero123Spec:
             width=self.clip_width, layers=self.clip_layers,
             heads=self.clip_heads, patch=self.clip_patch,
             out_dim=self.context_dim)
+
+    def vae_module(self):
+        return vae.AutoencoderKL(ch=self.vae_ch)
 
 
 class Zero123Guidance(NamedTuple):
@@ -74,7 +78,7 @@ class Zero123Guidance(NamedTuple):
         unet_params = spec.unet_module().init(
             k1, jnp.zeros((1, lat, lat, 8)), jnp.zeros((1,), jnp.int32),
             jnp.zeros((1, 1, cd)))["params"]
-        vae_params = vae.AutoencoderKL().init(
+        vae_params = spec.vae_module().init(
             k2, jnp.zeros((1, spec.image_size, spec.image_size, 3)))["params"]
         clip_params = spec.clip_module().init(
             k3, jnp.zeros((1, 224, 224, 3)))["params"]
@@ -106,11 +110,12 @@ def clip_image_embed(g: Zero123Guidance, images: jnp.ndarray,
     return emb[:, None, :]
 
 
-def vae_encode_mode(g: Zero123Guidance, images01: jnp.ndarray) -> jnp.ndarray:
+def vae_encode_mode(g: Zero123Guidance, images01: jnp.ndarray,
+                    spec: Zero123Spec = Zero123Spec()) -> jnp.ndarray:
     """Unscaled latent mode for c_concat (zero123_utils.py:96)."""
     x = images01 * 2.0 - 1.0
-    return vae.AutoencoderKL().apply({"params": g.vae_params}, x,
-                                     method=vae.AutoencoderKL.encode_moments)[0]
+    return spec.vae_module().apply({"params": g.vae_params}, x,
+                                   method=vae.AutoencoderKL.encode_moments)[0]
 
 
 def vae_encode_sample(g: Zero123Guidance, key: jax.Array,
@@ -119,7 +124,7 @@ def vae_encode_sample(g: Zero123Guidance, key: jax.Array,
     """Scaled posterior sample for SDS latents (encode_imgs,
     zero123_utils.py:285-290 → ddpm.get_first_stage_encoding)."""
     x = images01 * 2.0 - 1.0
-    mean, logvar = vae.AutoencoderKL().apply(
+    mean, logvar = spec.vae_module().apply(
         {"params": g.vae_params}, x, method=vae.AutoencoderKL.encode_moments)
     std = jnp.exp(0.5 * logvar)
     z = mean + std * jax.random.normal(key, mean.shape)
@@ -130,8 +135,8 @@ def vae_decode(g: Zero123Guidance, latents: jnp.ndarray,
                spec: Zero123Spec = Zero123Spec()) -> jnp.ndarray:
     """latents → images in [0, 1] (decode_latents, zero123_utils.py:277-283)."""
     z = latents / spec.scale_factor
-    img = vae.AutoencoderKL().apply({"params": g.vae_params}, z,
-                                    method=vae.AutoencoderKL.decode)
+    img = spec.vae_module().apply({"params": g.vae_params}, z,
+                                  method=vae.AutoencoderKL.decode)
     return jnp.clip(img / 2.0 + 0.5, 0.0, 1.0)
 
 

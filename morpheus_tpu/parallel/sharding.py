@@ -55,6 +55,10 @@ def make_sharded_real_step(trainer: Trainer, mesh: Mesh, axis: str = "rays"):
             return loss
 
         loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        # fold in carried virtual-step gradients, then clear them — mirrors
+        # the single-chip real step (trainer.py _make_real_step)
+        grads = jax.tree.map(jnp.add, grads, state.pending_grads)
+        zeros = jax.tree.map(jnp.zeros_like, state.pending_grads)
         if trainer.optim_name == "adan":
             opt_state, params = optim.adan_update(state.opt_state, grads,
                                                   state.params, lr, 0.0)
@@ -62,10 +66,99 @@ def make_sharded_real_step(trainer: Trainer, mesh: Mesh, axis: str = "rays"):
             opt_state, params = optim.adam_update(state.opt_state, grads,
                                                   state.params, lr, 0.0)
         new_state = TrainState(params, opt_state, state.ema, state.occ,
-                               state.global_step + 1)
+                               state.global_step + 1, zeros)
         return new_state, loss
 
     return jax.jit(step, out_shardings=(replicated, replicated))
+
+
+def make_sharded_virtual_step(trainer: Trainer, mesh: Mesh,
+                              scale: float | None = None, axis: str = "rays"):
+    """Jit the virtual/SDS train step with a batch of V views sharded over the
+    mesh (one full view — render + VAE encode + UNet CFG — per device; the SDS
+    workload is embarrassingly data-parallel over views). Gradients are the
+    mean over views; params/opt/occ replicated. Returns
+    step(state, batch, key, epoch) -> (state, loss). Batch arrays carry a
+    leading V axis (see host_sample_virtual_batch)."""
+    replicated = NamedSharding(mesh, P())
+    curr = trainer.curr
+    vf = trainer.config["train"]["virtual_freq"]
+    sampler = data_lib.VirtualViewSampler(
+        trainer.dataset, trainer.config,
+        scale if scale is not None else
+        trainer.config["data"]["novel_view_scale"])
+    H, W = sampler.H, sampler.W
+
+    n_dev = mesh.devices.size
+
+    def step(state: TrainState, batch, key, epoch):
+        lr = curr.learning_rate(epoch)
+        max_level = curr.max_level(epoch)
+        freeze = curr.freeze_deform(epoch)
+        v_loc = batch["rays_id"].shape[0] // n_dev
+
+        # shard_map (not vmap): each device traces its local views unbatched —
+        # the hash-grid linear_call VJP has no batching rule, and per-view
+        # execution is exactly the parallelism we want anyway.
+        def local_grads(params, occ, batch_shard, key):
+            kd = jax.random.fold_in(key, jax.lax.axis_index(axis))
+
+            def loss_fn(p):
+                total = 0.0
+                for i in range(v_loc):
+                    b = jax.tree.map(lambda x: x[i], batch_shard)
+                    li, _ = trainer.virtual_loss_from_batch(
+                        p, occ, jax.random.fold_in(kd, i), epoch, max_level,
+                        b, H, W)
+                    total += li
+                return total / v_loc
+
+            loss, grads = jax.value_and_grad(loss_fn)(params)
+            return (jax.lax.pmean(loss, axis),
+                    jax.tree.map(lambda g: jax.lax.pmean(g, axis), grads))
+
+        loss, grads = jax.shard_map(
+            local_grads, mesh=mesh,
+            in_specs=(P(), P(), P(axis), P()),
+            out_specs=(P(), P()), check_vma=False)(
+                state.params, state.occ, batch, key)
+        grads = jax.tree.map(lambda a: a / vf, grads)
+
+        # same freeze semantics as the single-chip virtual step: apply now
+        # with deform groups frozen, or carry grads into the next real step
+        def apply_now(_):
+            if trainer.optim_name == "adan":
+                os_, p_ = optim.adan_update(state.opt_state, grads,
+                                            state.params, lr, 1.0)
+            else:
+                os_, p_ = optim.adam_update(state.opt_state, grads,
+                                            state.params, lr, 1.0)
+            return os_, p_, jax.tree.map(jnp.zeros_like, grads)
+
+        def carry(_):
+            return (state.opt_state, state.params,
+                    jax.tree.map(jnp.add, state.pending_grads, grads))
+
+        opt_state, params, pending = jax.lax.cond(freeze > 0.5, apply_now,
+                                                  carry, None)
+        new_state = TrainState(params, opt_state, state.ema, state.occ,
+                               state.global_step + 1, pending)
+        return new_state, loss
+
+    return jax.jit(step, out_shardings=(replicated, replicated)), sampler
+
+
+def sample_virtual_batch(sampler, key, n_views: int) -> dict:
+    """Stack n_views independent virtual views into leading-axis-V arrays
+    suitable for shard_batch (per-view scalars become (V,) arrays)."""
+    views = []
+    for k in jax.random.split(key, n_views):
+        b = dict(sampler.sample(k))
+        b.pop("H")
+        b.pop("W")
+        b["frame_idx"] = jnp.asarray(b["frame_idx"], jnp.int32)
+        views.append(b)
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *views)
 
 
 def replicate_state(state: TrainState, mesh: Mesh) -> TrainState:

@@ -280,7 +280,7 @@ class Trainer:
 
         spec = self.guidance_spec
         embed = jax.jit(lambda im: (z123.clip_image_embed(guidance, im, spec),
-                                    z123.vae_encode_mode(guidance, im)))
+                                    z123.vae_encode_mode(guidance, im, spec)))
         c_crossattn, c_concat = [], []
         for i in range(len(kf)):
             c, v = embed(imgs[i:i + 1])
@@ -302,17 +302,26 @@ class Trainer:
     def _virtual_loss(self, params, occ, key, epoch, max_level, sampler):
         """Virtual-view SDS loss (reference train_step(real_view=False),
         morpheus.py:1147-1236 + get_virtual_view_loss :1044-1088)."""
+        k_v, k_rest = jax.random.split(key)
+        batch = sampler.sample(k_v)
+        return self.virtual_loss_from_batch(params, occ, k_rest, epoch,
+                                            max_level, batch,
+                                            sampler.H, sampler.W)
+
+    def virtual_loss_from_batch(self, params, occ, key, epoch, max_level,
+                                batch, H, W):
+        """SDS loss on one explicit virtual view (H*W rays + Δangles). Batch-
+        explicit so the multi-chip path (parallel/sharding.py) can vmap it
+        over a views axis sharded across devices."""
         from ..guidance import zero123 as z123
 
         cfg = self.config
         tr, gd = cfg["train"], cfg["guidance"]
         emb = self._embeddings
         g = self.guidance
-        k_v, k_shade, k_amb, k_bg, k_bgsel, k_r, k_sds, k_pick = \
-            jax.random.split(key, 8)
+        k_shade, k_amb, k_bg, k_bgsel, k_r, k_sds, k_pick = \
+            jax.random.split(key, 7)
 
-        batch = sampler.sample(k_v)
-        H, W = batch["H"], batch["W"]
         N = H * W
 
         # shading selection (morpheus.py:864-887)
