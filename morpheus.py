@@ -32,6 +32,8 @@ def main(argv=None):
     log = Logger(workspace, config["exp"]["log"])
     dump_config(config, workspace)
     seed_everything(config["exp"]["seed"])
+    from morpheus_tpu.utils import file_backup
+    file_backup(workspace)
 
     if config["data"]["data_dir"] == "<synthetic>":
         from morpheus_tpu.data.synthetic import make_synthetic_scene
@@ -62,6 +64,21 @@ def main(argv=None):
         clip_encoder = ImageEncoder.from_clip_checkpoint(clip_ckpt)
         log(f"Loaded CLIP eval encoder from {clip_ckpt}")
 
+    # resume from the newest workspace checkpoint unless told otherwise
+    # (preemption recovery — SURVEY.md §5; reference only writes a final ckpt)
+    ckpt_mode = config["exp"].get("ckpt", "latest")
+    if ckpt_mode and ckpt_mode != "scratch":
+        if ckpt_mode == "latest":
+            import glob
+            cands = sorted(glob.glob(os.path.join(workspace, "models",
+                                                  "model_ep_*.pkl")))
+            ckpt_path = cands[-1] if cands else None
+        else:
+            ckpt_path = ckpt_mode
+        if ckpt_path and os.path.exists(ckpt_path):
+            trainer.load_ckpt(ckpt_path)
+            log(f"Resumed from {ckpt_path} (epoch {trainer.epoch})")
+
     mesh_dir = os.path.join(workspace, "mesh")
     mesh_export.export_mesh(trainer.state.params, trainer.spec,
                             os.path.join(mesh_dir, "init.ply"), cano=True)
@@ -78,7 +95,8 @@ def main(argv=None):
             log(f"epoch {epoch}/{max_epochs} loss={loss:.4f} "
                 f"({time.time() - t0:.2f}s)")
 
-        if epoch == max_epochs:
+        # periodic checkpoint (every mesh_all_interval epochs) + final
+        if epoch % exp["mesh_all_interval"] == 0 or epoch == max_epochs:
             trainer.save_ckpt(os.path.join(workspace, "models",
                                            f"model_ep_{epoch:04d}.pkl"))
 

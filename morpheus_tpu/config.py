@@ -49,6 +49,7 @@ DEFAULTS: dict[str, dict[str, Any]] = {
         "mesh_all_eval_interval": 400,
         "seed": 2024,
         "clip_ckpt": "",   # optional OpenAI CLIP ViT-B/32 weights for eval
+        "ckpt": "latest",  # 'latest' | 'scratch' | explicit checkpoint path
 
     },
     "render": {

@@ -208,10 +208,13 @@ class VirtualViewSampler:
         self.phi = jnp.asarray(dataset.phi)
 
     def sample(self, key: jax.Array, frame_idx=None, theta_deg=None,
-               phi_deg=None, radius_scale=None):
+               phi_deg=None, radius_scale=None, theta_range=None,
+               phi_range=None):
         """Random frame + random polar camera (or fixed angles for eval
         renders; reference get_c2w_from_polar path, dataset.py:526-532).
-        Returns rays + Δ(polar, azimuth, radius) wrt the frame's real view."""
+        Returns rays + Δ(polar, azimuth, radius) wrt the frame's real view.
+        theta_range/phi_range override the config ranges with traced scalars
+        (progressive_view curriculum, morpheus.py:796-806)."""
         k_f, k_cam = jax.random.split(key)
         if frame_idx is None:
             frame_idx = jax.random.randint(k_f, (), 0, self.num_frames)
@@ -223,8 +226,10 @@ class VirtualViewSampler:
         if theta_deg is None:
             c2w, thetas, phis = cameras.sample_virtual_camera(
                 k_cam, radius,
-                theta_range_deg=self.config["data"]["theta_range"],
-                phi_range_deg=self.config["data"]["phi_range"],
+                theta_range_deg=(theta_range if theta_range is not None
+                                 else self.config["data"]["theta_range"]),
+                phi_range_deg=(phi_range if phi_range is not None
+                               else self.config["data"]["phi_range"]),
                 uniform_sphere_rate=self.config["data"]["uniform_sphere_rate"])
         else:
             thetas = jnp.asarray(theta_deg, jnp.float32).reshape(1)

@@ -222,7 +222,83 @@ def convert_clip_visual(sd, prefix="cond_stage_model.model.visual.",
     return params
 
 
-def load_zero123_checkpoint(path: str, spec=None):
+class _TrackedDict(dict):
+    """state_dict wrapper recording consumed keys (reads via [] only;
+    `in` probes like the skip_connection checks don't count)."""
+
+    def __init__(self, *a, **kw):
+        super().__init__(*a, **kw)
+        self.consumed = set()
+
+    def __getitem__(self, k):
+        self.consumed.add(k)
+        return super().__getitem__(k)
+
+
+# DDPM registers these schedule buffers into the checkpoint (ddpm.py:145-165,
+# :520); they carry no weights we need (the schedule is recomputed from the
+# spec) — tolerated by the strict check.
+_SCHEDULE_BUFFERS = (
+    "betas", "alphas_cumprod", "alphas_cumprod_prev", "sqrt_alphas_cumprod",
+    "sqrt_one_minus_alphas_cumprod", "log_one_minus_alphas_cumprod",
+    "sqrt_recip_alphas_cumprod", "sqrt_recipm1_alphas_cumprod",
+    "posterior_variance", "posterior_log_variance_clipped",
+    "posterior_mean_coef1", "posterior_mean_coef2", "logvar", "scale_factor",
+)
+# FrozenCLIPImageEmbedder deletes only the text transformer
+# (modules.py:355-357) — these text-side leftovers remain in the checkpoint
+# and are unused by the image tower.
+_CLIP_TEXT_LEFTOVERS = (
+    "cond_stage_model.model.positional_embedding",
+    "cond_stage_model.model.text_projection",
+    "cond_stage_model.model.logit_scale",
+    "cond_stage_model.model.token_embedding.weight",
+    "cond_stage_model.model.ln_final.weight",
+    "cond_stage_model.model.ln_final.bias",
+)
+
+
+def convert_state_dict(sd: dict, spec=None, strict: bool = False):
+    """ldm LatentDiffusion state_dict (numpy values) → (unet, vae, clip,
+    cc_w, cc_b) param trees. strict=True verifies every checkpoint key is
+    either consumed or a known schedule/EMA/text-tower leftover — catching
+    name-mapping drift against the real 105000.ckpt layout."""
+    from .zero123 import Zero123Spec
+
+    spec = spec or Zero123Spec()
+    sd = _TrackedDict(sd)
+
+    # EMA weights: ldm stores model_ema.diffusion_modelXXX flattened with dots
+    # stripped; the reference copies EMA into the live model
+    # (zero123_utils.py:39-44). Apply the same when present.
+    ema_keys = {k for k in sd if k.startswith("model_ema.")}
+    if ema_keys:
+        live_keys = [k for k in sd if k.startswith("model.diffusion_model.")]
+        for k in live_keys:
+            flat = "model_ema." + k[len("model."):].replace(".", "")
+            if flat in sd:
+                dict.__setitem__(sd, k, sd[flat])  # consumes the EMA key
+
+    unet_params = convert_unet(sd, channel_mult=tuple(spec.unet_mult))
+    vae_params = convert_vae(sd)
+    clip_params = convert_clip_visual(sd, layers=spec.clip_layers)
+    cc_w = np.ascontiguousarray(np.asarray(sd["cc_projection.weight"]).T)
+    cc_b = np.asarray(sd["cc_projection.bias"])
+
+    if strict:
+        tolerated = set(_SCHEDULE_BUFFERS) | set(_CLIP_TEXT_LEFTOVERS) \
+            | {"model_ema.decay", "model_ema.num_updates"}
+        # EMA params of biasless/buffer entries the live copy didn't touch
+        leftover = {k for k in sd
+                    if k not in sd.consumed and k not in tolerated}
+        if leftover:
+            raise ValueError(
+                f"{len(leftover)} unconsumed checkpoint keys, e.g. "
+                f"{sorted(leftover)[:8]}")
+    return unet_params, vae_params, clip_params, cc_w, cc_b
+
+
+def load_zero123_checkpoint(path: str, spec=None, strict: bool = True):
     """Load the reference 105000.ckpt (torch.save of a lightning dict with
     'state_dict'; zero123_utils.py:22-54) into a Zero123Guidance."""
     import torch
@@ -235,22 +311,8 @@ def load_zero123_checkpoint(path: str, spec=None):
     sd = {k: v.float().numpy() if hasattr(v, "numpy") else v
           for k, v in sd.items()}
 
-    # EMA weights: ldm stores model_ema.diffusion_modelXXX flattened with dots
-    # stripped; the reference copies EMA into the live model
-    # (zero123_utils.py:39-44). Apply the same when present.
-    ema = {k: v for k, v in sd.items() if k.startswith("model_ema.")}
-    if ema:
-        live_keys = [k for k in sd if k.startswith("model.diffusion_model.")]
-        for k in live_keys:
-            flat = "model_ema." + k[len("model."):].replace(".", "")
-            if flat in sd:
-                sd[k] = sd[flat]
-
-    unet_params = convert_unet(sd)
-    vae_params = convert_vae(sd)
-    clip_params = convert_clip_visual(sd)
-    cc_w = np.ascontiguousarray(np.asarray(sd["cc_projection.weight"]).T)
-    cc_b = np.asarray(sd["cc_projection.bias"])
+    unet_params, vae_params, clip_params, cc_w, cc_b = convert_state_dict(
+        sd, spec, strict=strict)
 
     import jax
     to_jnp = lambda t: jax.tree.map(jnp.asarray, t)

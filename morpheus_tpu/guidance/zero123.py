@@ -220,7 +220,24 @@ def sds_loss(g: Zero123Guidance, key: jax.Array, pred_rgb_256: jnp.ndarray,
 
     targets = jax.lax.stop_gradient(latents - grad)
     loss = 0.5 * jnp.sum((latents - targets) ** 2) / latents.shape[0]
-    return loss, t, noise
+    # diag latents feed the save_guidance panels (zero123_utils.py:215-231);
+    # decoded host-side every save_guide_intervel steps
+    diag = {"latents": jax.lax.stop_gradient(latents),
+            "latents_noisy": latents_noisy, "noise_pred": noise_pred,
+            "noise": noise, "t": t}
+    return loss, t, noise, diag
+
+
+def guidance_panels(g: Zero123Guidance, pred_rgb: jnp.ndarray, diag: dict,
+                    spec: Zero123Spec = Zero123Spec()) -> jnp.ndarray:
+    """Render / noised / denoised / |grad| panel row in [0,1]
+    (zero123_utils.py:215-231). pred_rgb: (1, S, S, 3)."""
+    noisier = vae_decode(g, diag["latents_noisy"], spec)
+    x0 = schedule.predict_start_from_noise(
+        g.alphas_cumprod, diag["latents_noisy"], diag["t"], diag["noise_pred"])
+    denoised = vae_decode(g, x0, spec)
+    grad_vis = jnp.abs(vae_decode(g, diag["noise_pred"] - diag["noise"], spec))
+    return jnp.concatenate([pred_rgb, noisier, denoised, grad_vis], axis=2)
 
 
 # ---- verification sampler (zero123_utils.py:240-275) ------------------------

@@ -58,6 +58,13 @@ class FieldSpec:
             log2_hashmap_size=15, desired_resolution=128))
     normal_mode: str = "analytic"   # 'analytic' | 'fd'
     fd_eps: float = 2e-3
+    # 'bfloat16' = mixed policy: MLP matmuls bf16 on the MXU, f32 accumulation
+    # and master weights (the reference's AMP semantics, morpheus.py:158)
+    compute_dtype: str = "float32"
+
+    @property
+    def cdt(self):
+        return jnp.bfloat16 if self.compute_dtype == "bfloat16" else None
 
     # ---- derived dims (mirror models/model.py:99-185) ----
     @property
@@ -182,8 +189,8 @@ def warp(params: dict, spec: FieldSpec, x, t, max_level=None):
     """(deform, topo): observation→canonical offset + ambient coords
     (models/model.py:412-437)."""
     h = _deform_inputs(params, spec, x, t, max_level)
-    deform = mlp.apply_mlp(params["deform_net"], h)
-    topo = mlp.apply_mlp(params["topo_net"], h)
+    deform = mlp.apply_mlp(params["deform_net"], h, spec.cdt)
+    topo = mlp.apply_mlp(params["topo_net"], h, spec.cdt)
     if spec.encode_topo:
         topo = encodings.freq_encode(topo, 4, max_level)
     return deform, topo
@@ -192,7 +199,7 @@ def warp(params: dict, spec: FieldSpec, x, t, max_level=None):
 def get_topo(params: dict, spec: FieldSpec, x, t, max_level=None):
     """Ambient/topology coords only (models/model.py:252-271)."""
     h = _deform_inputs(params, spec, x, t, max_level)
-    topo = mlp.apply_mlp(params["topo_net"], h)
+    topo = mlp.apply_mlp(params["topo_net"], h, spec.cdt)
     if spec.encode_topo:
         topo = encodings.freq_encode(topo, 4, max_level)
     return topo
@@ -211,7 +218,7 @@ def sdf_geo(params: dict, spec: FieldSpec, x, topo, max_level=None):
         feat = jnp.concatenate([enc_xyz, enc, topo], axis=-1)
     else:
         feat = jnp.concatenate([x, enc, topo], axis=-1)
-    h = mlp.apply_mlp(params["sdf_net"], feat)
+    h = mlp.apply_mlp(params["sdf_net"], feat, spec.cdt)
     return h[..., 0], h[..., 1:]
 
 
@@ -228,7 +235,7 @@ def albedo(params: dict, spec: FieldSpec, x, geo_feat, app_code=None,
         if app_code is None:
             app_code = jnp.zeros(x.shape[:-1] + (spec.deform_dim,), x.dtype)
         feat = jnp.concatenate([feat, app_code], axis=-1)
-    return jax.nn.sigmoid(mlp.apply_mlp(params["color_net"], feat))
+    return jax.nn.sigmoid(mlp.apply_mlp(params["color_net"], feat, spec.cdt))
 
 
 def sigma_albedo(params: dict, spec: FieldSpec, x, topo=None, app_code=None,
@@ -308,7 +315,8 @@ def background(params: dict, spec: FieldSpec, d, t, max_level=None):
     h = encodings.freq_encode(d, spec.multires_bg)
     h_t = encodings.freq_encode(t, spec.multires_bg_t, max_level)
     return jax.nn.sigmoid(mlp.apply_mlp(params["bg_net"],
-                                        jnp.concatenate([h, h_t], -1)))
+                                        jnp.concatenate([h, h_t], -1),
+                                        spec.cdt))
 
 
 # ---- full forward (models/model.py:483-533) ----

@@ -74,6 +74,76 @@ def take_accumulating(emb: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
         idx, emb)
 
 
+def _pallas_interpret() -> bool:
+    return jax.default_backend() != "tpu"
+
+
+def take_sorted_pallas(emb: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Gather emb (T, C) rows at idx (N,) whose embedding-cotangent transpose
+    is lax.sort + the Pallas windowed one-hot segment-sum
+    (ops/segsum_pallas.py) instead of XLA scatter-add.
+
+    v5e, 16.8M updates into a 420k-slot table: 86 ms (C=2) / 115 ms (C=4)
+    vs 268 ms for the per-level scan-scatter path and 1365 ms for one
+    combined XLA scatter. Everything crosses the linear_call boundary as flat
+    per-channel scalar streams (no narrow-lane tile padding); arbitrary-order
+    AD is preserved (transpose of the transpose is the gather again).
+    """
+    from .segsum_pallas import segment_sum_sorted
+
+    C = emb.shape[1]
+    N = idx.shape[0]
+    T = emb.shape[0]
+    interpret = _pallas_interpret()
+
+    emb_cm = emb.T.reshape(-1)                           # channel-major (C*T,)
+    idx_u = idx.astype(jnp.uint32)
+    idx2 = jnp.concatenate([idx_u + jnp.uint32(c * T)
+                            for c in range(C)], axis=0)  # (C*N,) block layout
+
+    def _scatter_sorted(i, ct):
+        base = i[:N].astype(jnp.int32)          # channel-0 block == idx
+        cols = tuple(ct[c * N:(c + 1) * N] for c in range(C))
+        ops = jax.lax.sort((base,) + cols, num_keys=1)
+        out = segment_sum_sorted(ops[0], ops[1:], T, interpret=interpret)
+        return out.reshape(-1)                  # (C*T,) channel-major
+
+    def _gather(i, ct_emb):
+        return jnp.take(ct_emb, i, axis=0)
+
+    flat = _cd.linear_call(
+        lambda i, e: jnp.take(e, i, axis=0),
+        lambda i, ct: _cd.linear_call(_scatter_sorted, _gather, i, ct),
+        idx2, emb_cm)                                    # (C*N,)
+    return jnp.stack([flat[c * N:(c + 1) * N] for c in range(C)], axis=-1)
+
+
+def take_sorted_pallas_rows(emb: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+    """Row-gather variant: forward is ONE (N, C)-row gather (149M rows/s on
+    v5e vs 108M scalar-gathers/s for the flat stream); backward is the same
+    sorted Pallas segment-sum on per-channel slices of the cotangent."""
+    from .segsum_pallas import segment_sum_sorted
+
+    C = emb.shape[1]
+    T = emb.shape[0]
+    interpret = _pallas_interpret()
+    idx = idx.astype(jnp.int32)
+
+    def _scatter_sorted(i, ct):
+        cols = tuple(ct[:, c] for c in range(C))
+        ops = jax.lax.sort((i,) + cols, num_keys=1)
+        return segment_sum_sorted(ops[0], ops[1:], T,
+                                  interpret=interpret).T   # (T, C)
+
+    def _gather(i, ct_emb):
+        return jnp.take(ct_emb, i, axis=0)
+
+    return _cd.linear_call(
+        lambda i, e: jnp.take(e, i, axis=0),
+        lambda i, ct: _cd.linear_call(_scatter_sorted, _gather, i, ct),
+        idx, emb)
+
+
 def take_level_scatter(emb: jnp.ndarray, idx: jnp.ndarray,
                        offsets: Sequence[int]) -> jnp.ndarray:
     """Gather whose cotangent scatters PER LEVEL into each level's table slice.
@@ -162,13 +232,16 @@ class HashGridSpec:
     align_corners: bool = False
     interpolation: str = "linear"  # 'linear' | 'smoothstep'
     # embedding-cotangent path:
-    #   'level_scatter' (default): per-level scatters via lax.scan on flat
-    #       scalar streams — ~2x faster grads than one combined scatter on v5e
-    #       (scatter throughput is set by table size; lane padding avoided by
-    #       channel-interleaved flat indexing), exact-parity, any-order AD
+    #   'sort_pallas_rows' (default): row-gather forward (149M rows/s on v5e
+    #       vs 108M scalar-gathers/s flat) + fused lax.sort + Pallas windowed
+    #       one-hot segment-sum backward (ops/segsum_pallas.py, 86 ms per
+    #       16.8M updates vs 268 ms for 'level_scatter'); exact, any-order AD.
+    #       Full real step: 884 ms vs 2191 ms with 'level_scatter'.
+    #   'sort_pallas': same backward, flat scalar-stream forward
+    #   'level_scatter': per-level scatters via lax.scan on flat streams
     #   'scatter': XLA native scatter-add on the combined index space
     #   'sort': linear_call sort+cumsum segment-sum (scatter-free)
-    vjp_mode: str = "level_scatter"
+    vjp_mode: str = "sort_pallas_rows"
 
     def __post_init__(self):
         if self.desired_resolution is not None:
@@ -299,6 +372,10 @@ def encode(inputs: jnp.ndarray, embeddings: jnp.ndarray, spec: HashGridSpec,
         feats = take_accumulating(embeddings, idx)              # (L*8*P, C)
     elif spec.vjp_mode == "level_scatter":
         feats = take_level_scatter(embeddings, idx, offsets)
+    elif spec.vjp_mode == "sort_pallas":
+        feats = take_sorted_pallas(embeddings, idx)
+    elif spec.vjp_mode == "sort_pallas_rows":
+        feats = take_sorted_pallas_rows(embeddings, idx)
     else:
         feats = jnp.take(embeddings, idx, axis=0)
     feats = feats.reshape(L, n_corners, P, spec.level_dim)

@@ -51,10 +51,23 @@ def init_mlp(key: jax.Array, dim_in: int, dim_out: int, dim_hidden: int,
     return {"w": ws, "b": bs}
 
 
-def apply_mlp(params, x: jnp.ndarray) -> jnp.ndarray:
+def apply_mlp(params, x: jnp.ndarray, compute_dtype=None) -> jnp.ndarray:
+    """compute_dtype=bfloat16 runs the matmuls on the MXU in bf16 with f32
+    accumulation and returns f32 — the TPU analogue of the reference's AMP
+    autocast (morpheus.py:158, grid.py:44-47: half-precision compute,
+    full-precision master weights/positions)."""
     n = len(params["w"])
+    out_dtype = x.dtype
+    if compute_dtype is not None and compute_dtype != x.dtype:
+        x = x.astype(compute_dtype)
     for l in range(n):
-        x = jnp.dot(x, params["w"][l], preferred_element_type=x.dtype) + params["b"][l]
+        w = params["w"][l]
+        b = params["b"][l]
+        if compute_dtype is not None:
+            w = w.astype(compute_dtype)
+        x = jnp.dot(x, w, preferred_element_type=jnp.float32) + b
         if l != n - 1:
             x = jax.nn.relu(x)
-    return x
+            if compute_dtype is not None:
+                x = x.astype(compute_dtype)
+    return x.astype(out_dtype)

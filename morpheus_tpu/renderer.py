@@ -36,6 +36,13 @@ class RenderConfig:
     normal_smooth_2d: bool = False
     code_reg: bool = True
     outside_radius: float = 1.1
+    # dormant reference options (all 0/False in shipped configs, but flipping
+    # the knob must produce the loss — morpheus.py:716-760)
+    normal_dir: bool = False          # perturb along ortho-normal dirs (:716-718)
+    normal_smooth_3d_t: bool = False  # time-perturbed topo normals (:743-748)
+    deform_smooth: bool = False       # deform at perturbed points (:750-754)
+    deform_smooth_t: bool = False     # deform at perturbed time (:756-760)
+    topo_smooth_t: bool = False       # topo at perturbed time (:756-760)
 
     @staticmethod
     def from_config(config: dict, num_frames: int, bound: float) -> "RenderConfig":
@@ -50,6 +57,11 @@ class RenderConfig:
             normal_smoothness=tr["normal_smoothness"] > 0,
             normal_smooth_2d=tr["normal_smooth_2d"] > 0,
             code_reg=tr["code_reg"] > 0,
+            normal_dir=bool(tr["normal_dir"]),
+            normal_smooth_3d_t=tr["normal_smooth_3d_t"] > 0,
+            deform_smooth=tr["deform_smooth"] > 0,
+            deform_smooth_t=tr["deform_smooth_t"] > 0,
+            topo_smooth_t=tr["topo_smooth_t"] > 0,
         )
 
 
@@ -125,10 +137,16 @@ def render_rays(params: dict, spec: field.FieldSpec, occ_state, key,
             dirs_unit[:, None, :], mask)
 
         if rcfg.normal_smooth_3d:
-            # random 3-D perturbation, canonical-space normals with zero topo
-            # (morpheus.py:714-741, topo_none branch)
-            xp = x_flat + jax.random.normal(k_perturb, x_flat.shape) \
-                * rcfg.smoothness_std
+            # 3-D perturbation, canonical-space normals with zero topo
+            # (morpheus.py:714-741, topo_none branch). normal_dir perturbs
+            # along random directions orthogonal to the normals (:716-718)
+            # instead of isotropic gaussians.
+            if rcfg.normal_dir:
+                xp = x_flat + _ortho_normal_dir(k_perturb, normals) \
+                    * rcfg.smoothness_std
+            else:
+                xp = x_flat + jax.random.normal(k_perturb, x_flat.shape) \
+                    * rcfg.smoothness_std
             if rcfg.topo_none:
                 n_p, _ = field.normal(params, spec, xp, topo=None, cano=cano,
                                       max_level=max_level)
@@ -139,6 +157,22 @@ def render_rays(params: dict, spec: field.FieldSpec, occ_state, key,
             out["loss_normal_perturb"] = losses.normal_perturb_loss(
                 normals_nk, n_p.reshape(N, K, 3), mask)
 
+            if rcfg.normal_smooth_3d_t:
+                # time-perturbed topo normals (morpheus.py:743-748)
+                k_t3 = jax.random.fold_in(k_perturb, 1)
+                t_jit = t_flat + jax.random.uniform(k_t3, t_flat.shape) \
+                    / rcfg.num_frames
+                topo_t = field.get_topo(params, spec, x_flat, t_jit, max_level)
+                n_t, _ = field.normal(params, spec, x_flat, topo=topo_t,
+                                      cano=cano, max_level=max_level)
+                out["loss_normal_perturb_t"] = losses.normal_perturb_loss(
+                    normals_nk, n_t.reshape(N, K, 3), mask)
+
+            if rcfg.deform_smooth and not cano and deform is not None:
+                # deform smoothness at the perturbed points (morpheus.py:750-754)
+                deform_p, _ = field.warp(params, spec, xp, t_flat, max_level)
+                out["loss_deform_perturb"] = jnp.mean(jnp.abs(deform - deform_p))
+
         if normal_raw is not None:
             out["normal_raw_eik"] = losses.eikonal_loss(
                 normal_raw.reshape(N, K, 3), mask)
@@ -147,6 +181,19 @@ def render_rays(params: dict, spec: field.FieldSpec, occ_state, key,
             # accumulated normal image for 2-D smoothness (morpheus.py:773-776)
             out["normal_image"] = volrender.accumulate(
                 weights, (normals_nk + 1.0) / 2.0)
+
+    if (rcfg.deform_smooth_t or rcfg.topo_smooth_t) and not cano \
+            and deform is not None:
+        # deform/topo smoothness under time perturbation (morpheus.py:756-760);
+        # the unperturbed warp re-call CSEs with forward()'s internal warp
+        k_ts = jax.random.fold_in(k_perturb, 2)
+        t_jit = t_flat + jax.random.uniform(k_ts, t_flat.shape) / rcfg.num_frames
+        _, topo0 = field.warp(params, spec, x_flat, t_flat, max_level)
+        deform_t, topo_t = field.warp(params, spec, x_flat, t_jit, max_level)
+        if rcfg.deform_smooth_t:
+            out["loss_deform_perturb_t"] = jnp.mean(jnp.abs(deform - deform_t))
+        if rcfg.topo_smooth_t:
+            out["loss_topo_perturb_t"] = jnp.mean(jnp.abs(topo0 - topo_t))
 
     if rcfg.code_reg and not cano:
         # temporal second-difference code smoothness (morpheus.py:762-771)

@@ -34,6 +34,13 @@ class Curriculum:
     beta_weight: float = 0.1
     beta_weight_late: float = 0.3
     t_range: tuple = (0.02, 0.5)
+    # progressive view expansion (morpheus.py:796-806); off in shipped configs
+    progressive_view: bool = False
+    progressive_view_init_ratio: float = 0.2
+    default_polar: float = 90.0
+    default_azimuth: float = 0.0
+    full_theta_range: tuple = (45.0, 105.0)
+    full_phi_range: tuple = (-180.0, 180.0)
 
     @property
     def swap_epoch(self) -> int:
@@ -75,6 +82,19 @@ class Curriculum:
         beta = jnp.where(late, self.beta_weight_late, self.beta_weight)
         return ori, rgb, beta
 
+    def view_ranges(self, epoch):
+        """Progressive-view theta/phi ranges as traced scalars
+        (morpheus.py:796-806: r anneals from init_ratio to 1 at twice the
+        epoch ratio; ranges blend from the default polar/azimuth toward the
+        full ranges). Returns ((th_lo, th_hi), (ph_lo, ph_hi))."""
+        ratio = jnp.asarray(epoch, jnp.float32) / self.n_epochs
+        r = jnp.minimum(1.0, self.progressive_view_init_ratio + 2.0 * ratio)
+        th = tuple(self.default_polar * (1 - r) + f * r
+                   for f in self.full_theta_range)
+        ph = tuple(self.default_azimuth * (1 - r) + f * r
+                   for f in self.full_phi_range)
+        return th, ph
+
     def sds_t_range(self, epoch):
         """Annealed SDS timestep range (morpheus.py:1455-1461)."""
         epoch = jnp.asarray(epoch, jnp.float32)
@@ -98,4 +118,10 @@ class Curriculum:
             ori_weight=tr["ori_weight"], rgb_weight=tr["rgb_weight"],
             beta_weight=tr["beta_weight"],
             t_range=tuple(config["guidance"]["t_range"]),
+            progressive_view=bool(tr["progressive_view"]),
+            progressive_view_init_ratio=tr["progressive_view_init_ratio"],
+            default_polar=config["data"]["default_polar"],
+            default_azimuth=config["data"]["default_azimuth"],
+            full_theta_range=tuple(config["data"]["full_theta_range"]),
+            full_phi_range=tuple(config["data"]["full_phi_range"]),
         )

@@ -74,7 +74,8 @@ class Trainer:
             use_joint=config["model"]["use_joint"],
             color_grid=config["model"]["color_grid"],
             encode_topo=config["model"]["encode_topo"],
-            bg_radius=config["model"]["bg_radius"])
+            bg_radius=config["model"]["bg_radius"],
+            compute_dtype=config["tpu"].get("compute_dtype", "float32"))
         self.rcfg = renderer.RenderConfig.from_config(config, dataset.num_frames,
                                                       self.bound)
         self.data = dataset.device_data(scale=config["data"]["known_view_scale"])
@@ -95,6 +96,25 @@ class Trainer:
         self.epoch = 0
         self._jit_cache: dict = {}
         self._embeddings = None
+        self._panel_fn = None
+
+        # multi-chip data parallelism over ICI (tpu.data_parallel chips; rays
+        # sharded on real steps, one view per chip on virtual steps)
+        self.dp = int(config["tpu"].get("data_parallel", 1))
+        self.mesh = None
+        if self.dp > 1:
+            from ..parallel import sharding
+            n_dev = len(jax.devices())
+            if n_dev < self.dp:
+                raise RuntimeError(
+                    f"tpu.data_parallel={self.dp} but only {n_dev} devices "
+                    "are visible")
+            if config["train"]["real_ray_num"] % self.dp:
+                raise ValueError("train.real_ray_num must be divisible by "
+                                 "tpu.data_parallel")
+            self.mesh = sharding.make_mesh(self.dp)
+            self.state = sharding.replicate_state(self.state, self.mesh)
+            self._np_rng = np.random.default_rng(seed)
         if guidance is not None:
             self._embeddings = self.precompute_embeddings(guidance)
 
@@ -140,6 +160,15 @@ class Trainer:
         batch = data_lib.sample_real_view_rays(k_s, self.data,
                                                self.dataset.num_frames,
                                                tr["real_ray_num"])
+        if tr["real_view_noise"] > 0:
+            # one shared 3-vector of noise per step, added to origins and
+            # directions (morpheus.py:858-860)
+            k_no, k_nd = jax.random.split(jax.random.fold_in(k_s, 1))
+            batch = dict(batch)
+            batch["rays_o"] = batch["rays_o"] + jax.random.normal(
+                k_no, (3,)) * tr["real_view_noise"]
+            batch["rays_d"] = batch["rays_d"] + jax.random.normal(
+                k_nd, (3,)) * tr["real_view_noise"]
         N = batch["rays_o"].shape[0]
         bg_color = jax.random.uniform(k_bg, (N, 3))
         return self.real_loss_from_batch(params, occ, k_r, epoch, max_level,
@@ -173,6 +202,13 @@ class Trainer:
                 out["depth"], gt_depth, batch["rays_o"], batch["rays_d"], gt_mask)
         if tr["sdf_weight"] > 0:
             loss += tr["sdf_weight"] * out["sdf_loss"]
+        if tr["sdf_reg"] > 0:
+            # mean squared SDF over valid samples (morpheus.py:994-995; the
+            # reference reads an out-of-scope `pred_sdf` there — a latent
+            # NameError when enabled — the intended mean(sdf**2) is used here)
+            m = out["mask"].astype(jnp.float32)
+            loss += tr["sdf_reg"] * (jnp.sum(out["sdf"] ** 2 * m)
+                                     / (jnp.sum(m) + 1e-8))
         if tr["fs_weight"] > 0:
             loss += tr["fs_weight"] * out["fs_loss"]
 
@@ -204,6 +240,14 @@ class Trainer:
             loss += ori_w * out["loss_orient"]
         if tr["normal_smooth_3d"] > 0 and "loss_normal_perturb" in out:
             loss += tr["normal_smooth_3d"] * out["loss_normal_perturb"]
+        if tr["normal_smooth_3d_t"] > 0 and "loss_normal_perturb_t" in out:
+            loss += tr["normal_smooth_3d_t"] * out["loss_normal_perturb_t"]
+        if tr["deform_smooth"] > 0 and "loss_deform_perturb" in out:
+            loss += tr["deform_smooth"] * out["loss_deform_perturb"]
+        if tr["deform_smooth_t"] > 0 and "loss_deform_perturb_t" in out:
+            loss += tr["deform_smooth_t"] * out["loss_deform_perturb_t"]
+        if tr["topo_smooth_t"] > 0 and "loss_topo_perturb_t" in out:
+            loss += tr["topo_smooth_t"] * out["loss_topo_perturb_t"]
         if tr["eik_weight"] > 0 and "normal_raw_eik" in out:
             loss += tr["eik_weight"] * out["normal_raw_eik"]
         loss += beta_w * density_lib.laplace_beta(params["beta"])
@@ -303,7 +347,12 @@ class Trainer:
         """Virtual-view SDS loss (reference train_step(real_view=False),
         morpheus.py:1147-1236 + get_virtual_view_loss :1044-1088)."""
         k_v, k_rest = jax.random.split(key)
-        batch = sampler.sample(k_v)
+        if self.curr.progressive_view:
+            th_range, ph_range = self.curr.view_ranges(epoch)
+            batch = sampler.sample(k_v, theta_range=th_range,
+                                   phi_range=ph_range)
+        else:
+            batch = sampler.sample(k_v)
         return self.virtual_loss_from_batch(params, occ, k_rest, epoch,
                                             max_level, batch,
                                             sampler.H, sampler.W)
@@ -382,12 +431,14 @@ class Trainer:
         min_step = (t_lo * 1000).astype(jnp.int32)
         max_step = (t_hi * 1000).astype(jnp.int32)
 
-        loss_sds, _, _ = z123.sds_loss(
+        loss_sds, _, _, diag = z123.sds_loss(
             g, k_sds, pred256,
             emb["c_crossattn"][slot][None], emb["c_concat"][slot][None],
             polar_k, azim_k, rad_k, min_step, max_step,
             guidance_scale=gd["zero123_guidance_scale"], grad_scale=gs,
             spec=self.guidance_spec)
+        if cfg["exp"]["save_guidance"]:
+            out["sds_diag"] = dict(diag, pred_rgb=pred256)
 
         ori_w, rgb_w, beta_w = self.curr.loss_weights(epoch)
         loss = loss_sds + self._reg_loss(params, out, ori_w, beta_w, epoch)
@@ -415,11 +466,12 @@ class Trainer:
                                          t_occ)
 
             def loss_fn(params):
-                loss, _ = self._virtual_loss(params, occ, k_loss, epoch,
-                                             max_level, sampler)
-                return loss
+                loss, out = self._virtual_loss(params, occ, k_loss, epoch,
+                                               max_level, sampler)
+                return loss, out.get("sds_diag", {})
 
-            loss, grads = jax.value_and_grad(loss_fn)(state.params)
+            (loss, diag), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params)
             grads = jax.tree.map(lambda a: a / vf, grads)
 
             # freeze active: optimizer step now with deform groups frozen;
@@ -440,9 +492,30 @@ class Trainer:
             opt_state, params, pending = jax.lax.cond(freeze > 0.5, apply_now,
                                                       carry, None)
             return TrainState(params, opt_state, state.ema, occ, step + 1,
-                              pending), loss
+                              pending), loss, diag
 
         return virtual_step
+
+    # ---- SDS guidance visualization (morpheus.py:1221-1225,
+    #      zero123_utils.py:215-231) ----
+
+    def _save_guidance_panels(self, diag: dict, step: int):
+        import cv2
+        from ..guidance import zero123 as z123
+        if self._panel_fn is None:
+            spec = self.guidance_spec
+            g = self.guidance
+            self._panel_fn = jax.jit(
+                lambda d: z123.guidance_panels(g, d["pred_rgb"],
+                                               d, spec))
+        t_val = int(np.asarray(diag["t"])[0])
+        panel = np.asarray(self._panel_fn(diag)[0])
+        path = os.path.join(self.workspace, "guidance",
+                            f"{step:06d}_zero123_{t_val}.png")
+        os.makedirs(os.path.dirname(path), exist_ok=True)
+        bgr = cv2.cvtColor((np.clip(panel, 0, 1) * 255).astype(np.uint8),
+                           cv2.COLOR_RGB2BGR)
+        cv2.imwrite(path, bgr)
 
     def _make_ema_step(self):
         decay = self.config["train"]["ema_decay"]
@@ -468,9 +541,64 @@ class Trainer:
             self._jit_cache[key] = self._make_virtual_step(sampler)
         return self._jit_cache[key]
 
+    def _train_one_epoch_dp(self, n_iters: int):
+        """Multi-chip epoch: real steps shard the ray batch over the mesh,
+        virtual steps run one full SDS view per chip (grads pmean'd)."""
+        from ..parallel import sharding
+
+        tr = self.config["train"]
+        if "dp_real" not in self._jit_cache:
+            self._jit_cache["dp_real"] = sharding.make_sharded_real_step(
+                self, self.mesh)
+        real_step = self._jit_cache["dp_real"]
+        use_sds = self.guidance is not None
+        vstep = vsampler = None
+        if use_sds:
+            vkey = f"dp_virtual_{self._novel_view_scale()}"
+            if vkey not in self._jit_cache:
+                self._jit_cache[vkey] = sharding.make_sharded_virtual_step(
+                    self, self.mesh, self._novel_view_scale())
+            vstep, vsampler = self._jit_cache[vkey]
+
+        epoch = jnp.asarray(self.epoch, jnp.float32)
+        loss = jnp.nan
+        host_step = getattr(self, "_host_step", 0)
+        nf = self.dataset.num_frames
+        for _ in range(n_iters):
+            for _ in range(tr["virtual_freq"]):
+                self.key, k = jax.random.split(self.key)
+                if use_sds and host_step >= tr["warm_up_steps"]:
+                    self.key, kb = jax.random.split(self.key)
+                    vb = sharding.sample_virtual_batch(vsampler, kb, self.dp)
+                    vb = sharding.shard_batch(vb, self.mesh)
+                    self.state, loss = vstep(self.state, vb, k, epoch)
+                else:
+                    batch, bg = sharding.host_sample_real_batch(
+                        self._np_rng, self.data, nf, tr["real_ray_num"])
+                    batch = sharding.shard_batch(batch, self.mesh)
+                    bg = sharding.shard_batch({"bg": bg}, self.mesh)["bg"]
+                    self.state, loss = real_step(self.state, batch, bg, k,
+                                                 epoch)
+                host_step += 1
+            for _ in range(tr["real_freq"]):
+                self.key, k = jax.random.split(self.key)
+                batch, bg = sharding.host_sample_real_batch(
+                    self._np_rng, self.data, nf, tr["real_ray_num"])
+                batch = sharding.shard_batch(batch, self.mesh)
+                bg = sharding.shard_batch({"bg": bg}, self.mesh)["bg"]
+                self.state, loss = real_step(self.state, batch, bg, k, epoch)
+                host_step += 1
+        self._host_step = host_step
+        if "ema" not in self._jit_cache:
+            self._jit_cache["ema"] = self._make_ema_step()
+        self.state = self._jit_cache["ema"](self.state)
+        return float(loss)
+
     def train_one_epoch(self, n_iters: int | None = None):
         tr = self.config["train"]
         n_iters = n_iters or tr.get("n_iters", 10)
+        if self.dp > 1:
+            return self._train_one_epoch_dp(n_iters)
         if "real" not in self._jit_cache:
             self._jit_cache["real"] = self._make_real_step()
             self._jit_cache["ema"] = self._make_ema_step()
@@ -481,12 +609,17 @@ class Trainer:
         epoch = jnp.asarray(self.epoch, jnp.float32)
         loss = jnp.nan
         host_step = getattr(self, "_host_step", 0)
+        exp = self.config["exp"]
         for _ in range(n_iters):
             for _ in range(tr["virtual_freq"]):
                 self.key, k = jax.random.split(self.key)
                 # warm-up forces real views (morpheus.py:1174-1175)
                 if use_sds and host_step >= tr["warm_up_steps"]:
-                    self.state, loss = virtual_step(self.state, k, epoch)
+                    self.state, loss, diag = virtual_step(self.state, k, epoch)
+                    if (exp["save_guidance"] and diag
+                            and host_step % exp["save_guide_intervel"] == 0
+                            and self.workspace):
+                        self._save_guidance_panels(diag, host_step)
                 else:
                     self.state, loss = real_step(self.state, k, epoch)
                 host_step += 1
@@ -516,9 +649,14 @@ class Trainer:
             "state": jax.tree.map(np.asarray, self.state._asdict()),
             "epoch": self.epoch,
             "optim": self.optim_name,
+            # RNG key + host step so a resumed run replays identically
+            "key": np.asarray(self.key),
+            "host_step": getattr(self, "_host_step", 0),
         }
-        with open(path, "wb") as f:
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:
             pickle.dump(payload, f)
+        os.replace(tmp, path)
 
     def load_ckpt(self, path: str):
         with open(path, "rb") as f:
@@ -536,3 +674,7 @@ class Trainer:
                 jnp.asarray, st.get("pending_grads")) if st.get("pending_grads")
             is not None else jax.tree.map(jnp.zeros_like, st["params"]))
         self.epoch = payload["epoch"]
+        if "key" in payload:
+            self.key = jnp.asarray(payload["key"])
+        if "host_step" in payload:
+            self._host_step = payload["host_step"]

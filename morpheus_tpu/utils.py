@@ -126,3 +126,25 @@ class StepTimer:
         return " ".join(
             f"{k}={self.totals[k] / max(self.counts[k], 1) * 1000:.1f}ms"
             for k in sorted(self.totals))
+
+
+def file_backup(workspace: str, repo_root: str | None = None) -> None:
+    """Snapshot the framework sources into workspace/recording/ for
+    reproducibility (reference file_backup, morpheus.py:75-90: copies ./,
+    ./models, ./datasets *.py)."""
+    import shutil
+
+    root = repo_root or os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__)))
+    rec = os.path.join(workspace, "recording")
+    for base, _dirs, files in os.walk(os.path.join(root, "morpheus_tpu")):
+        for f in files:
+            if f.endswith((".py", ".cpp", ".h")):
+                src = os.path.join(base, f)
+                dst = os.path.join(rec, os.path.relpath(src, root))
+                os.makedirs(os.path.dirname(dst), exist_ok=True)
+                shutil.copyfile(src, dst)
+    for f in os.listdir(root):
+        if f.endswith(".py"):
+            os.makedirs(rec, exist_ok=True)
+            shutil.copyfile(os.path.join(root, f), os.path.join(rec, f))

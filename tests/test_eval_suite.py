@@ -139,6 +139,7 @@ def test_tsdf_fusion_reconstructs_sphere():
     assert abs(np.median(r) - 0.4) < 0.08, np.median(r)
 
 
+@pytest.mark.slow
 def test_clip_eval_similarity_sanity():
     enc = clip_eval.ImageEncoder()
     rng = np.random.default_rng(0)

@@ -108,3 +108,32 @@ def test_forward_jits_with_traced_shading(small_spec, params):
     c1 = f(params, jnp.asarray(1), jnp.asarray(0.3))
     c2 = f(params, jnp.asarray(2), jnp.asarray(0.3))
     assert c1.shape == c2.shape == (4, 3)
+
+
+def test_bf16_compute_policy_loss_parity(small_spec):
+    """tpu.compute_dtype=bfloat16 runs MLPs in bf16 (f32 accumulation) —
+    field outputs must track the f32 path within bf16 tolerance and keep
+    f32 output dtypes (master weights stay f32)."""
+    import dataclasses
+    spec32 = small_spec
+    spec16 = dataclasses.replace(spec32, compute_dtype="bfloat16")
+    params = field.init_field(jax.random.PRNGKey(0), spec32)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (128, 3),
+                           minval=-0.8, maxval=0.8)
+    t = jnp.full((128, 1), 0.25)
+    r32 = field.query_density(params, spec32, x, t=t)
+    r16 = field.query_density(params, spec16, x, t=t)
+    assert r16["sdf"].dtype == jnp.float32
+    np.testing.assert_allclose(np.asarray(r16["sdf"]), np.asarray(r32["sdf"]),
+                               atol=0.03)
+    np.testing.assert_allclose(np.asarray(r16["albedo"]),
+                               np.asarray(r32["albedo"]), atol=0.03)
+    # gradients stay finite and close in direction
+    def loss(p, s):
+        out = field.query_density(p, s, x, t=t)
+        return jnp.mean(out["sdf"] ** 2) + jnp.mean(out["albedo"] ** 2)
+    g32 = jax.grad(loss)(params, spec32)
+    g16 = jax.grad(loss)(params, spec16)
+    for a, b in zip(jax.tree.leaves(g32), jax.tree.leaves(g16)):
+        assert np.all(np.isfinite(np.asarray(b)))
+        assert b.dtype == a.dtype

@@ -62,6 +62,7 @@ def small_unet():
     return m, params
 
 
+@pytest.mark.slow
 def test_unet_shapes_and_zero_init(small_unet):
     m, params = small_unet
     x = jax.random.normal(jax.random.PRNGKey(1), (2, 16, 16, 8))
@@ -73,6 +74,7 @@ def test_unet_shapes_and_zero_init(small_unet):
     np.testing.assert_allclose(np.asarray(out), 0.0, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_unet_context_matters(small_unet):
     m, params = small_unet
     # perturb out conv so the output is non-trivial
@@ -225,6 +227,7 @@ def test_convert_unet_roundtrip():
 
 # ---- CLIP parity vs transformers (independent implementation) ----
 
+@pytest.mark.slow
 def test_clip_vit_matches_transformers():
     torch = pytest.importorskip("torch")
     from transformers import CLIPVisionConfig, CLIPVisionModelWithProjection

@@ -1,8 +1,10 @@
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from morpheus_tpu.ops import hashgrid
+from morpheus_tpu.ops.hashgrid import HashGridSpec, encode, init_embeddings
 
 PRIMES = (1, 2654435761, 805459861)
 
@@ -66,6 +68,7 @@ def test_encode_matches_naive_dense_and_hash():
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_out_of_range_inputs_zero():
     spec = hashgrid.HashGridSpec(num_levels=2, base_resolution=4,
                                  desired_resolution=8, log2_hashmap_size=10)
@@ -76,6 +79,7 @@ def test_out_of_range_inputs_zero():
     assert np.all(out[1] != 0)
 
 
+@pytest.mark.slow
 def test_max_level_masks_levels():
     spec = hashgrid.HashGridSpec(num_levels=8, base_resolution=4,
                                  desired_resolution=64, log2_hashmap_size=12)
@@ -91,6 +95,7 @@ def test_max_level_masks_levels():
     np.testing.assert_allclose(out_j, out)
 
 
+@pytest.mark.slow
 def test_gradients_flow_to_embeddings_and_inputs():
     spec = hashgrid.HashGridSpec(num_levels=4, base_resolution=4,
                                  desired_resolution=32, log2_hashmap_size=10)
@@ -125,3 +130,51 @@ def test_offsets_match_reference_formula():
         n = min(2 ** 15, res ** 3)
         n = int(np.ceil(n / 8) * 8)
         assert offs[i + 1] - offs[i] == n
+
+
+@pytest.mark.parametrize("mode", ["sort_pallas", "sort_pallas_rows", "sort"])
+def test_vjp_modes_match_scatter(mode):
+    """All embedding-cotangent paths must agree with plain XLA scatter on
+    values, embedding grads, input grads, and grad-of-grad (normals
+    differentiate through the encode twice)."""
+    import dataclasses
+    base = HashGridSpec(input_dim=3, num_levels=4, level_dim=2,
+                        base_resolution=4, log2_hashmap_size=6,
+                        desired_resolution=16, vjp_mode="scatter")
+    spec = dataclasses.replace(base, vjp_mode=mode)
+    key = jax.random.PRNGKey(3)
+    emb = init_embeddings(key, base) * 1e4   # O(1) values
+    x = jax.random.uniform(key, (257, 3), minval=-0.9, maxval=0.9)
+
+    def loss(spec_):
+        def f(e, xx):
+            out = encode(xx, e, spec_, bound=1.0)
+            return jnp.sum(jnp.sin(out) ** 2)
+        return f
+
+    # the legacy cumsum-based 'sort' path has larger f32 summation-order
+    # noise (long cumsums); the pallas paths are scatter-exact
+    rtol, atol = (1e-3, 1e-5) if mode == "sort" else (2e-5, 1e-6)
+    f_ref, f_new = loss(base), loss(spec)
+    np.testing.assert_allclose(np.asarray(f_new(emb, x)),
+                               np.asarray(f_ref(emb, x)), rtol=1e-5)
+    ge_ref, gx_ref = jax.grad(f_ref, argnums=(0, 1))(emb, x)
+    ge_new, gx_new = jax.grad(f_new, argnums=(0, 1))(emb, x)
+    np.testing.assert_allclose(np.asarray(ge_new), np.asarray(ge_ref),
+                               rtol=rtol, atol=atol)
+    np.testing.assert_allclose(np.asarray(gx_new), np.asarray(gx_ref),
+                               rtol=rtol, atol=atol)
+
+    # second order: grad wrt emb of a loss built from dfeat/dx
+    def g2(spec_):
+        def f(e):
+            def sdf(xx):
+                return jnp.sum(encode(xx, e, spec_, bound=1.0))
+            n = jax.grad(sdf)(x)
+            return jnp.sum(n ** 2)
+        return f
+
+    h_ref = jax.grad(g2(base))(emb)
+    h_new = jax.grad(g2(spec))(emb)
+    np.testing.assert_allclose(np.asarray(h_new), np.asarray(h_ref),
+                               rtol=rtol, atol=atol)

@@ -1,3 +1,4 @@
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -121,6 +122,7 @@ def test_ray_aabb():
     np.testing.assert_allclose(tf, [6.0], atol=1e-5)
 
 
+@pytest.mark.slow
 def test_march_rays_hits_occupied_region():
     R = 32
     state = occupancy.init_occupancy(R)

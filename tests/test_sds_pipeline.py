@@ -11,6 +11,8 @@ from morpheus_tpu.data.synthetic import make_synthetic_scene
 from morpheus_tpu.guidance import zero123 as z123
 from morpheus_tpu.train.trainer import Trainer
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def tiny_spec():
@@ -71,7 +73,7 @@ def test_sds_loss_gradient_flows(tiny_spec, tiny_guidance):
     cv = jax.random.normal(key, (1, 8, 8, 4))
 
     def f(im):
-        loss, t, noise = z123.sds_loss(
+        loss, t, noise, _ = z123.sds_loss(
             g, jax.random.PRNGKey(2), im, cc, cv,
             jnp.asarray(30.0), jnp.asarray(10.0), jnp.asarray(0.0),
             jnp.asarray(20), jnp.asarray(500), grad_scale=1.0, spec=tiny_spec)
@@ -99,3 +101,36 @@ def test_novel_view_sampler_runs(tiny_spec, tiny_guidance):
                                  spec=tiny_spec)
     assert out.shape == (1, 64, 64, 3)
     assert np.all(np.isfinite(np.asarray(out)))
+
+
+def test_save_guidance_panels_written(tiny_spec, tiny_guidance, tmp_path):
+    """save_guidance writes render/noised/denoised/grad panel PNGs every
+    save_guide_intervel steps (morpheus.py:1221-1225)."""
+    import glob
+    import os
+    cfg = merge_defaults({
+        "data": {"data_dir": "<synthetic>", "novel_view_scale": 0.5},
+        "exp": {"seed": 0, "save_guidance": True, "save_guide_intervel": 1,
+                "output": str(tmp_path), "exp_name": "guid"},
+        "train": {"n_epochs": 20, "warm_up_end": 4, "warm_up_steps": 0,
+                  "real_ray_num": 64, "real_freq": 1, "virtual_freq": 1,
+                  "n_iters": 1, "freeze_epoch": 5, "kf_every": 2,
+                  "normal_smoothness": 0.0, "normal_smooth_3d": 0.0},
+        "model": {"bg_radius": 0.0, "grid_num_levels": 4,
+                  "grid_log2_hashmap_size": 10, "grid_desired_resolution": 32},
+        "render": {"step_size": 0.04},
+        "tpu": {"max_samples_per_ray": 16, "march_steps": 64,
+                "occ_resolution": 16, "occ_warmup_steps": 8,
+                "occ_update_every": 4},
+    })
+    scene = make_synthetic_scene(num_frames=4, H=32, W=32)
+    ds = data_lib.DeformDataset(cfg, scene=scene)
+    tr = Trainer(cfg, ds, guidance=tiny_guidance, guidance_spec=tiny_spec)
+    tr.epoch = 1
+    tr.train_one_epoch()
+    pngs = glob.glob(os.path.join(tr.workspace, "guidance", "*_zero123_*.png"))
+    assert pngs, "no guidance panels written"
+    import cv2
+    img = cv2.imread(pngs[0])
+    S = tiny_spec.image_size
+    assert img.shape == (S, 4 * S, 3), img.shape  # 4 tiles side by side

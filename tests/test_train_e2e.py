@@ -13,6 +13,8 @@ from morpheus_tpu.data import dataset as data_lib
 from morpheus_tpu.data.synthetic import make_synthetic_scene
 from morpheus_tpu.train.trainer import Trainer
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def tiny_config():
@@ -113,3 +115,34 @@ def test_checkpoint_roundtrip(trained, tmp_path):
     for a, b in zip(jax.tree.leaves(trainer.state.params),
                     jax.tree.leaves(t2.state.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_kill_and_resume_is_exact(tiny_config, tmp_path):
+    """Checkpoint mid-run, rebuild a fresh trainer, resume — params must match
+    an unbroken run bit-for-bit (key + host_step round-trip through the ckpt)."""
+    scene = make_synthetic_scene(num_frames=4, H=32, W=32, radius=0.3)
+
+    ds = data_lib.DeformDataset(tiny_config, scene=scene)
+    t_full = Trainer(tiny_config, ds)
+    for ep in range(1, 7):
+        t_full.epoch = ep
+        t_full.train_one_epoch()
+
+    t_a = Trainer(tiny_config, ds)
+    for ep in range(1, 4):
+        t_a.epoch = ep
+        t_a.train_one_epoch()
+    ckpt = str(tmp_path / "mid.pkl")
+    t_a.save_ckpt(ckpt)
+
+    t_b = Trainer(tiny_config, ds)
+    t_b.load_ckpt(ckpt)
+    assert t_b.epoch == 3
+    for ep in range(4, 7):
+        t_b.epoch = ep
+        t_b.train_one_epoch()
+
+    jax.tree.map(
+        lambda a, b: np.testing.assert_array_equal(np.asarray(a),
+                                                   np.asarray(b)),
+        t_full.state.params, t_b.state.params)
