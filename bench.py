@@ -4,9 +4,11 @@ north-star metric). Prints ONE JSON line.
 Runs the full jitted train step (occupancy marching, field eval with normals,
 all losses, grads, Adam) on a synthetic scene at reference-scale settings:
 2048 rays/step (morpheus.py:826), 128³ occupancy grid, 16-level hash grid,
-step_size 0.01. vs_baseline is rays/sec against a 30k rays/sec reference-GPU
-estimate (220k steps × ~2.2k rays in ~4.5h on A100 — the reference publishes no
-number, BASELINE.json "published": {}).
+step_size 0.01, at the epoch-300 curriculum point (coarse-to-fine has 10/16
+hash levels unlocked — exactly what a real run executes there; `late` reports
+the all-16-level step). vs_baseline is rays/sec against a 30k rays/sec
+reference-GPU estimate (220k steps × ~2.2k rays in ~4.5h on A100 — the
+reference publishes no number, BASELINE.json "published": {}).
 """
 from __future__ import annotations
 
@@ -17,6 +19,22 @@ import jax
 import numpy as np
 
 BASELINE_RAYS_PER_SEC = 30000.0
+
+
+def _time_steps(step_fn, state, epoch, n=20, warmup=5):
+    key = jax.random.PRNGKey(0)
+    t_c = time.perf_counter()
+    for _ in range(warmup):
+        key, k = jax.random.split(key)
+        state, loss = step_fn(state, k, epoch)
+    compile_s = time.perf_counter() - t_c
+    float(loss)  # block_until_ready is a no-op on axon — force readback
+    t0 = time.perf_counter()
+    for _ in range(n):
+        key, k = jax.random.split(key)
+        state, loss = step_fn(state, k, epoch)
+    float(loss)
+    return (time.perf_counter() - t0) / n, compile_s, state, loss
 
 
 def main():
@@ -42,36 +60,28 @@ def main():
     ds = data_lib.DeformDataset(cfg, scene=scene)
     trainer = Trainer(cfg, ds)
 
-    step_fn = trainer._make_real_step()
-    epoch = jax.numpy.asarray(300.0)  # post-warmup lr/curriculum regime
+    rays = cfg["train"]["real_ray_num"]
 
-    # compile + occupancy warmup. NOTE: block_until_ready does not actually
-    # block on the axon TPU platform — force a host readback to sync.
-    key = jax.random.PRNGKey(0)
-    state = trainer.state
-    t_c = time.perf_counter()
-    for _ in range(5):
-        key, k = jax.random.split(key)
-        state, loss = step_fn(state, k, epoch)
-    compile_s = time.perf_counter() - t_c
-    float(loss)
-
-    n_steps = 20
-    t0 = time.perf_counter()
-    for _ in range(n_steps):
-        key, k = jax.random.split(key)
-        state, loss = step_fn(state, k, epoch)
-    float(loss)
-    dt = time.perf_counter() - t0
-
-    rays = cfg["train"]["real_ray_num"] * n_steps
+    # real-view step at the epoch-300 operating point (10/16 levels unlocked)
+    trainer.epoch = 300
+    epoch = jax.numpy.asarray(300.0)
+    step_fn = trainer._make_real_step(trainer._active_levels())
+    dt, compile_s, state, loss = _time_steps(step_fn, trainer.state, epoch)
     rays_per_sec = rays / dt
+
+    # late-curriculum step: all 16 levels active (epoch > 0.95 * n_epochs)
+    trainer.epoch = 1900
+    epoch_late = jax.numpy.asarray(1900.0)
+    step_late = trainer._make_real_step(trainer._active_levels())
+    dt_late, _, _, _ = _time_steps(step_late, state, epoch_late, n=10)
+
     print(json.dumps({
         "metric": "rays_per_sec_per_chip",
         "value": round(rays_per_sec, 1),
         "unit": "rays/s",
         "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 3),
-        "steps_per_sec": round(n_steps / dt, 2),
+        "steps_per_sec": round(1.0 / dt, 2),
+        "rays_per_sec_late": round(rays / dt_late, 1),
         "compile_s": round(compile_s, 1),
         "device": str(jax.devices()[0]),
         "loss": float(loss),

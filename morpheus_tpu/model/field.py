@@ -61,6 +61,9 @@ class FieldSpec:
     # 'bfloat16' = mixed policy: MLP matmuls bf16 on the MXU, f32 accumulation
     # and master weights (the reference's AMP semantics, morpheus.py:158)
     compute_dtype: str = "float32"
+    # static hash-level truncation for the coarse-to-fine curriculum: levels
+    # >= active_levels skip their gather/VJP entirely (ops/hashgrid.encode)
+    active_levels: int | None = None
 
     @property
     def cdt(self):
@@ -207,10 +210,33 @@ def get_topo(params: dict, spec: FieldSpec, x, t, max_level=None):
 
 # ---- canonical field ----
 
-def sdf_geo(params: dict, spec: FieldSpec, x, topo, max_level=None):
-    """(sdf, geo_feat) of canonical positions (models/model.py:273-293)."""
-    enc = hashgrid.encode(x, params["sdf_grid"], spec.grid,
-                          bound=spec.bound, max_level=max_level)
+def _grid_features(params: dict, spec: FieldSpec, x, max_level=None):
+    """(enc_sdf, enc_color) hash features of canonical positions.
+
+    When a color grid exists, BOTH grids share the same corner indices (same
+    spec, same positions), so they are gathered as one fused (T, 2C) table —
+    one row-gather and one sorted-segment-sum cotangent stream instead of two
+    of each (gather/scatter cost on v5e is row-count-bound, not width-bound).
+    """
+    import dataclasses as _dc
+    if spec.color_grid:
+        emb = jnp.concatenate([params["sdf_grid"], params["color_grid"]], -1)
+        gspec = _dc.replace(spec.grid, level_dim=2 * spec.grid.level_dim)
+        out = hashgrid.encode(x, emb, gspec, bound=spec.bound,
+                              max_level=max_level,
+                              active_levels=spec.active_levels)
+        L, C = spec.grid.num_levels, spec.grid.level_dim
+        o = out.reshape(x.shape[:-1] + (L, 2 * C))
+        enc_sdf = o[..., :C].reshape(x.shape[:-1] + (L * C,))
+        enc_col = o[..., C:].reshape(x.shape[:-1] + (L * C,))
+        return enc_sdf, enc_col
+    enc_sdf = hashgrid.encode(x, params["sdf_grid"], spec.grid,
+                              bound=spec.bound, max_level=max_level,
+                              active_levels=spec.active_levels)
+    return enc_sdf, None
+
+
+def _sdf_head(params: dict, spec: FieldSpec, x, enc, topo, max_level):
     if topo is None:
         topo = jnp.zeros(x.shape[:-1] + (spec.in_dim_amb,), x.dtype)
     if spec.use_joint:
@@ -220,6 +246,14 @@ def sdf_geo(params: dict, spec: FieldSpec, x, topo, max_level=None):
         feat = jnp.concatenate([x, enc, topo], axis=-1)
     h = mlp.apply_mlp(params["sdf_net"], feat, spec.cdt)
     return h[..., 0], h[..., 1:]
+
+
+def sdf_geo(params: dict, spec: FieldSpec, x, topo, max_level=None):
+    """(sdf, geo_feat) of canonical positions (models/model.py:273-293).
+    Uses the fused grid gather so it CSEs with sigma_albedo/forward on the
+    same positions (the color half is sliced off unused)."""
+    enc, _ = _grid_features(params, spec, x, max_level)
+    return _sdf_head(params, spec, x, enc, topo, max_level)
 
 
 def albedo(params: dict, spec: FieldSpec, x, geo_feat, app_code=None,
@@ -240,11 +274,23 @@ def albedo(params: dict, spec: FieldSpec, x, geo_feat, app_code=None,
 
 def sigma_albedo(params: dict, spec: FieldSpec, x, topo=None, app_code=None,
                  return_color: bool = True, max_level=None):
-    """(sdf, sigma, albedo) of canonical positions (models/model.py:273-307)."""
-    sdf, geo_feat = sdf_geo(params, spec, x, topo, max_level)
+    """(sdf, sigma, albedo) of canonical positions (models/model.py:273-307).
+    One fused grid gather serves both the SDF and color branches."""
+    enc_sdf, enc_col = _grid_features(params, spec, x, max_level)
+    sdf, geo_feat = _sdf_head(params, spec, x, enc_sdf, topo, max_level)
     sigma = density.laplace_density(sdf, params["beta"])
-    rgb = (albedo(params, spec, x, geo_feat, app_code, max_level)
-           if return_color else None)
+    rgb = None
+    if return_color:
+        if enc_col is None:
+            enc_col = encodings.freq_encode(x, 6, max_level)
+        feat = jnp.concatenate([enc_col, geo_feat], axis=-1)
+        if spec.use_app:
+            if app_code is None:
+                app_code = jnp.zeros(x.shape[:-1] + (spec.deform_dim,),
+                                     x.dtype)
+            feat = jnp.concatenate([feat, app_code], axis=-1)
+        rgb = jax.nn.sigmoid(mlp.apply_mlp(params["color_net"], feat,
+                                           spec.cdt))
     return sdf, sigma, rgb
 
 

@@ -307,12 +307,18 @@ def _corner_index(spec: HashGridSpec, pos_grid: jnp.ndarray, resolution: int,
 
 
 def encode(inputs: jnp.ndarray, embeddings: jnp.ndarray, spec: HashGridSpec,
-           bound: float = 1.0, max_level=None) -> jnp.ndarray:
+           bound: float = 1.0, max_level=None,
+           active_levels: int | None = None) -> jnp.ndarray:
     """Encode positions in [-bound, bound]^D → (..., L*C) features.
 
     max_level ∈ (0, 1] (python float or traced scalar) zero-fills levels
     >= ceil(max_level*L) like the reference's coarse-to-fine masking
     (grid.py:42,53: active = clamp(ceil(max_level*L), 1, L)).
+
+    active_levels (STATIC int) skips the gather/VJP work for levels >= it
+    entirely — exact when set to ceil(max_level*L) (the masked levels are
+    zero-filled either way); the trainer recompiles per distinct value as the
+    coarse-to-fine curriculum unlocks levels (≤ L/2 variants per run).
     """
     x01 = (inputs + bound) / (2.0 * bound)
     prefix = x01.shape[:-1]
@@ -324,14 +330,16 @@ def encode(inputs: jnp.ndarray, embeddings: jnp.ndarray, spec: HashGridSpec,
     offsets = spec.offsets
     resolutions = spec.resolutions
     D = spec.input_dim
-    L = spec.num_levels
+    L_full = spec.num_levels
+    L = L_full if active_levels is None else max(1, min(L_full,
+                                                        int(active_levels)))
     n_corners = 1 << D
 
     if max_level is None:
         active = None
     else:
-        active = jnp.clip(jnp.ceil(jnp.asarray(max_level) * spec.num_levels)
-                          .astype(jnp.int32), 1, spec.num_levels)
+        active = jnp.clip(jnp.ceil(jnp.asarray(max_level) * L_full)
+                          .astype(jnp.int32), 1, L_full)
 
     # build indices/weights for all levels & corners, then ONE batched gather
     # (single take + single segment-sum cotangent instead of L*2^D of each)
@@ -385,7 +393,11 @@ def encode(inputs: jnp.ndarray, embeddings: jnp.ndarray, spec: HashGridSpec,
         level_ids = jax.lax.broadcasted_iota(jnp.int32, (L, 1, 1), 0)
         out_l = jnp.where(level_ids < active, out_l, 0.0)
 
-    out = out_l.transpose(1, 0, 2).reshape(P, L * spec.level_dim)
+    out = out_l.transpose(1, 0, 2)                              # (P, L, C)
+    if L < L_full:   # statically-truncated levels are zero-filled
+        out = jnp.concatenate(
+            [out, jnp.zeros((P, L_full - L, spec.level_dim), out.dtype)], 1)
+    out = out.reshape(P, L_full * spec.level_dim)
     out = jnp.where(in_range, out, 0.0)
     return out.reshape(*prefix, spec.output_dim)
 

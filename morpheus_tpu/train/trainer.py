@@ -120,15 +120,17 @@ class Trainer:
 
     # ---- pieces used inside jit ----
 
-    def _occ_density_fn(self, params, t_scalar):
+    def _occ_density_fn(self, params, t_scalar, spec=None):
+        spec = spec or self.spec
+
         def fn(x):
-            return field.query_density(params, self.spec, x, t=t_scalar,
+            return field.query_density(params, spec, x, t=t_scalar,
                                        return_color=False)["sigma"]
         return fn
 
-    def _maybe_update_occ(self, occ, params, key, step, t_scalar):
+    def _maybe_update_occ(self, occ, params, key, step, t_scalar, spec=None):
         tpu = self.config["tpu"]
-        dens = self._occ_density_fn(params, t_scalar)
+        dens = self._occ_density_fn(params, t_scalar, spec)
 
         def do_update(occ):
             def warm(occ):
@@ -152,7 +154,7 @@ class Trainer:
         return jax.lax.cond(step % tpu["occ_update_every"] == 0, do_update,
                             lambda o: o, occ)
 
-    def _real_loss(self, params, occ, key, epoch, max_level):
+    def _real_loss(self, params, occ, key, epoch, max_level, spec=None):
         """Real-view loss (reference: train_step(real_view=True) path,
         morpheus.py:1147-1212)."""
         tr = self.config["train"]
@@ -172,16 +174,17 @@ class Trainer:
         N = batch["rays_o"].shape[0]
         bg_color = jax.random.uniform(k_bg, (N, 3))
         return self.real_loss_from_batch(params, occ, k_r, epoch, max_level,
-                                         batch, bg_color)
+                                         batch, bg_color, spec=spec)
 
     def real_loss_from_batch(self, params, occ, k_r, epoch, max_level, batch,
-                             bg_color):
+                             bg_color, spec=None):
         """Loss on an explicit ray batch (used by the sharded multi-chip step,
         parallel/sharding.py, where the batch is sharded over devices)."""
+        spec = spec or self.spec
         tr = self.config["train"]
         N = batch["rays_o"].shape[0]
         out = renderer.render_rays(
-            params, self.spec, occ, k_r,
+            params, spec, occ, k_r,
             batch["rays_o"], batch["rays_d"], batch["rays_t"], batch["rays_id"],
             self.rcfg, bg_color=bg_color, ambient_ratio=1.0,
             shading_id=field.SHADING_LAMBERTIAN,  # 'albedo_normal': ratio=1
@@ -218,7 +221,7 @@ class Trainer:
             pts_norm = jnp.linalg.norm(xyzs, axis=-1)
             dm = ((gt_depth > 0) & (pts_norm <= self.rcfg.outside_radius)
                   & (gt_mask > 0.5))
-            res = field.query_density(params, self.spec, xyzs,
+            res = field.query_density(params, spec, xyzs,
                                       t=batch["rays_t"], max_level=max_level)
             n_valid = jnp.sum(dm) + 1e-8
             surf_sdf = jnp.sum(jnp.where(dm, res["sdf"] ** 2, 0.0)) / n_valid
@@ -264,8 +267,15 @@ class Trainer:
 
     # ---- jitted steps ----
 
-    def _make_real_step(self):
+    def _spec_for_levels(self, active_levels):
+        import dataclasses
+        if active_levels is None or active_levels >= self.spec.grid.num_levels:
+            return self.spec
+        return dataclasses.replace(self.spec, active_levels=active_levels)
+
+    def _make_real_step(self, active_levels=None):
         curr = self.curr
+        spec = self._spec_for_levels(active_levels)
 
         @jax.jit
         def real_step(state: TrainState, key, epoch):
@@ -276,11 +286,11 @@ class Trainer:
 
             t_occ = jax.random.uniform(k_t)
             occ = self._maybe_update_occ(state.occ, state.params, k_occ, step,
-                                         t_occ)
+                                         t_occ, spec)
 
             def loss_fn(params):
                 loss, out = self._real_loss(params, occ, k_loss, epoch,
-                                            max_level)
+                                            max_level, spec)
                 return loss, out
 
             (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -343,7 +353,8 @@ class Trainer:
             "ref_radii": jnp.asarray(ds.radius)[jnp.asarray(kf)],
         }
 
-    def _virtual_loss(self, params, occ, key, epoch, max_level, sampler):
+    def _virtual_loss(self, params, occ, key, epoch, max_level, sampler,
+                      spec=None):
         """Virtual-view SDS loss (reference train_step(real_view=False),
         morpheus.py:1147-1236 + get_virtual_view_loss :1044-1088)."""
         k_v, k_rest = jax.random.split(key)
@@ -355,10 +366,11 @@ class Trainer:
             batch = sampler.sample(k_v)
         return self.virtual_loss_from_batch(params, occ, k_rest, epoch,
                                             max_level, batch,
-                                            sampler.H, sampler.W)
+                                            sampler.H, sampler.W, spec=spec)
 
     def virtual_loss_from_batch(self, params, occ, key, epoch, max_level,
-                                batch, H, W):
+                                batch, H, W, spec=None):
+        spec = spec or self.spec
         """SDS loss on one explicit virtual view (H*W rays + Δangles). Batch-
         explicit so the multi-chip path (parallel/sharding.py) can vmap it
         over a views axis sharded across devices."""
@@ -389,7 +401,7 @@ class Trainer:
         # background color (morpheus.py:889-903): single random color or bg_net
         rand_bg = jnp.broadcast_to(jax.random.uniform(k_bg, (3,)), (N, 3))
         if cfg["model"]["bg_radius"] > 0:
-            bg_net_col = field.background(params, self.spec, batch["rays_d"],
+            bg_net_col = field.background(params, spec, batch["rays_d"],
                                           batch["rays_t"], max_level)
             use_net = jax.random.uniform(k_bgsel) > 0.5
             bg_color = jnp.where(use_net, bg_net_col, rand_bg)
@@ -397,7 +409,7 @@ class Trainer:
             bg_color = rand_bg
 
         out = renderer.render_rays(
-            params, self.spec, occ, k_r,
+            params, spec, occ, k_r,
             batch["rays_o"], batch["rays_d"], batch["rays_t"], batch["rays_id"],
             self.rcfg, bg_color=bg_color, ambient_ratio=ambient,
             shading_id=shading_id, real_view=False, optimize_pose=False,
@@ -449,9 +461,10 @@ class Trainer:
                 + jnp.mean((ni[:, 1:] - ni[:, :-1]) ** 2))
         return loss, out
 
-    def _make_virtual_step(self, sampler):
+    def _make_virtual_step(self, sampler, active_levels=None):
         curr = self.curr
         vf = self.config["train"]["virtual_freq"]
+        spec = self._spec_for_levels(active_levels)
 
         @jax.jit
         def virtual_step(state: TrainState, key, epoch):
@@ -463,11 +476,11 @@ class Trainer:
 
             t_occ = jax.random.uniform(k_t)
             occ = self._maybe_update_occ(state.occ, state.params, k_occ, step,
-                                         t_occ)
+                                         t_occ, spec)
 
             def loss_fn(params):
                 loss, out = self._virtual_loss(params, occ, k_loss, epoch,
-                                               max_level, sampler)
+                                               max_level, sampler, spec)
                 return loss, out.get("sds_diag", {})
 
             (loss, diag), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -533,12 +546,29 @@ class Trainer:
         return (d["novel_view_scale_final"] if self.epoch > 800
                 else d["novel_view_scale"])
 
-    def _virtual_step_for_scale(self, scale: float):
-        key = f"virtual_{scale}"
+    def _active_levels(self) -> int | None:
+        """Host-side mirror of the traced max_level schedule: the number of
+        hash levels the curriculum has unlocked this epoch (exact — masked
+        levels are zero-filled either way), used for static truncation."""
+        if not self.curr.progressive_level:
+            return None
+        L = self.spec.grid.num_levels
+        # mirror the traced f32 schedule bit-for-bit (curr.max_level +
+        # hashgrid.encode's ceil) so the static truncation never zeroes a
+        # level the traced mask expects active
+        ratio = np.float32(self.epoch) / np.float32(self.curr.n_epochs)
+        ml = np.minimum(np.float32(1.0),
+                        np.float32(0.5) + np.float32(0.5) * ratio)
+        active = int(np.ceil(ml * np.float32(L)))
+        return max(1, min(L, active))
+
+    def _virtual_step_for_scale(self, scale: float, active_levels=None):
+        key = f"virtual_{scale}_{active_levels}"
         if key not in self._jit_cache:
             sampler = data_lib.VirtualViewSampler(self.dataset, self.config,
                                                   scale)
-            self._jit_cache[key] = self._make_virtual_step(sampler)
+            self._jit_cache[key] = self._make_virtual_step(sampler,
+                                                           active_levels)
         return self._jit_cache[key]
 
     def _train_one_epoch_dp(self, n_iters: int):
@@ -599,12 +629,16 @@ class Trainer:
         n_iters = n_iters or tr.get("n_iters", 10)
         if self.dp > 1:
             return self._train_one_epoch_dp(n_iters)
-        if "real" not in self._jit_cache:
-            self._jit_cache["real"] = self._make_real_step()
+        al = self._active_levels()
+        rkey = f"real_{al}"
+        if rkey not in self._jit_cache:
+            self._jit_cache[rkey] = self._make_real_step(al)
+        if "ema" not in self._jit_cache:
             self._jit_cache["ema"] = self._make_ema_step()
-        real_step = self._jit_cache["real"]
+        real_step = self._jit_cache[rkey]
         use_sds = self.guidance is not None
-        virtual_step = (self._virtual_step_for_scale(self._novel_view_scale())
+        virtual_step = (self._virtual_step_for_scale(self._novel_view_scale(),
+                                                     al)
                         if use_sds else None)
         epoch = jnp.asarray(self.epoch, jnp.float32)
         loss = jnp.nan

@@ -178,3 +178,27 @@ def test_vjp_modes_match_scatter(mode):
     h_new = jax.grad(g2(spec))(emb)
     np.testing.assert_allclose(np.asarray(h_new), np.asarray(h_ref),
                                rtol=rtol, atol=atol)
+
+
+def test_static_active_levels_matches_traced_mask():
+    """encode(active_levels=k) must equal encode with the traced max_level
+    mask alone — truncated levels are zero-filled either way."""
+    spec = HashGridSpec(input_dim=3, num_levels=8, level_dim=2,
+                        base_resolution=4, log2_hashmap_size=8,
+                        desired_resolution=64)
+    emb = init_embeddings(jax.random.PRNGKey(0), spec) * 1e4
+    x = jax.random.uniform(jax.random.PRNGKey(1), (97, 3),
+                           minval=-0.9, maxval=0.9)
+    for k in (1, 3, 8):
+        ml = k / spec.num_levels
+        ref = encode(x, emb, spec, bound=1.0, max_level=ml)
+        got = encode(x, emb, spec, bound=1.0, max_level=ml, active_levels=k)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-6, atol=1e-7)
+        # gradients agree too (truncated levels get zero grad)
+        f = lambda e, al: jnp.sum(encode(x, e, spec, bound=1.0, max_level=ml,
+                                         active_levels=al) ** 2)
+        g_ref = jax.grad(f)(emb, None)
+        g_new = jax.grad(f)(emb, k)
+        np.testing.assert_allclose(np.asarray(g_new), np.asarray(g_ref),
+                                   rtol=1e-5, atol=1e-7)
