@@ -127,6 +127,11 @@ DEFAULTS: dict[str, dict[str, Any]] = {
     "tpu": {
         "max_samples_per_ray": 64,   # K: post-compaction samples per ray
         "march_steps": 256,          # M: candidate occupancy-test steps per ray
+        "sample_budget": 16,         # average samples/ray: global top-(N*this)
+                                     # sample compaction across the ray batch
+                                     # (0 = off); field evals then track
+                                     # occupied samples like the reference's
+                                     # ragged NeRFAcc stream
         "occ_resolution": 128,       # occupancy grid resolution (ref: morpheus.py:70)
         "occ_update_every": 16,      # EMA update cadence (nerfacc default n=16)
         "occ_warmup_steps": 256,     # full-grid updates during warmup

@@ -384,13 +384,38 @@ def forward(params: dict, spec: FieldSpec, x, t, light_d=None, ratio=1.0,
         deform, topo = warp(params, spec, x, t)
         x_cano = x + deform
 
-    sdf, sigma, alb = sigma_albedo(params, spec, x_cano, topo,
-                                   max_level=max_level)
+    if compute_normals and spec.normal_mode == "analytic":
+        # ONE encode instance serves the sdf value, the color features AND the
+        # normal: value_and_grad over a shared closure means the backward pass
+        # accumulates all embedding cotangents into a single sorted
+        # segment-sum stream, instead of one stream per hash-grid re-encode
+        # (the gather itself would CSE, but the transposed scatters would not).
+        def _sdf_closure(xc):
+            enc_sdf, enc_col = _grid_features(params, spec, xc, max_level)
+            sdf, geo_feat = _sdf_head(params, spec, xc, enc_sdf, topo,
+                                      max_level)
+            return jnp.sum(sdf), (sdf, geo_feat, enc_col)
 
-    if not compute_normals:
-        return sdf, sigma, alb, None, deform, None
-
-    n, n_raw = normal(params, spec, x_cano, topo=topo, max_level=max_level)
+        (_, (sdf, geo_feat, enc_col)), n_raw = jax.value_and_grad(
+            _sdf_closure, has_aux=True)(x_cano)
+        sigma = density.laplace_density(sdf, params["beta"])
+        if enc_col is None:
+            enc_col = encodings.freq_encode(x_cano, 6, max_level)
+        feat = jnp.concatenate([enc_col, geo_feat], axis=-1)
+        if spec.use_app:
+            feat = jnp.concatenate(
+                [feat, jnp.zeros(x_cano.shape[:-1] + (spec.deform_dim,),
+                                 x_cano.dtype)], axis=-1)
+        alb = jax.nn.sigmoid(mlp.apply_mlp(params["color_net"], feat,
+                                           spec.cdt))
+        n = jnp.nan_to_num(safe_normalize(n_raw))
+    else:
+        sdf, sigma, alb = sigma_albedo(params, spec, x_cano, topo,
+                                       max_level=max_level)
+        if not compute_normals:
+            return sdf, sigma, alb, None, deform, None
+        n, n_raw = normal(params, spec, x_cano, topo=topo,
+                          max_level=max_level)
     lambertian = ratio + (1.0 - ratio) * jnp.clip(
         jnp.sum(n * light_d, -1), 0.0, None)
 

@@ -137,7 +137,8 @@ def occs_lookup(occs: jnp.ndarray, resolution: int, x: jnp.ndarray,
 
 def march_rays(key: jax.Array, state: OccupancyState, rays_o: jnp.ndarray,
                rays_d: jnp.ndarray, bound: float, step_size: float,
-               march_steps: int, max_samples: int, stratified: bool = True):
+               march_steps: int, max_samples: int, stratified: bool = True,
+               return_score: bool = False):
     """Fixed-shape occupancy-culled ray marching with importance compaction.
 
     Returns (t_starts (N, K), t_ends (N, K), mask (N, K)) — the dense analogue
@@ -191,4 +192,39 @@ def march_rays(key: jax.Array, state: OccupancyState, rays_o: jnp.ndarray,
     mask = take(occ, idx, axis=-1)
     t_starts = jnp.where(mask, t_starts, 0.0)
     t_ends = jnp.where(mask, t_ends, 0.0)
+    if return_score:
+        return t_starts, t_ends, mask, take(score, idx, axis=-1)
     return t_starts, t_ends, mask
+
+
+def compact_samples(t_starts: jnp.ndarray, t_ends: jnp.ndarray,
+                    mask: jnp.ndarray, score: jnp.ndarray, budget: int):
+    """Global sample-budget compaction: (N, K) masked sample grid → flat (B,)
+    ray-sorted stream keeping the top-`budget` samples by march score.
+
+    This is the fixed-shape analogue of what NeRFAcc's ragged stream buys the
+    reference (morpheus.py:628-638): rays that miss the object consume no
+    field evaluations, so the per-step field-eval cost tracks the number of
+    *occupied* samples instead of N*K. The selection is by the occupancy
+    grid's approximate rendering weight (stop-gradient), so when the budget
+    binds, the least-contributing samples are dropped first.
+
+    Returns dict(ray_id (B,) int32 nondecreasing, t_starts/t_ends (B,),
+    valid (B,) bool, starts (N+1,) segment boundaries).
+    """
+    N, K = mask.shape
+    B = int(budget)
+    flat_score = jnp.where(mask, score, -jnp.inf).reshape(-1)
+    _, perm = jax.lax.top_k(flat_score, B)
+    perm = jnp.sort(perm)                       # ray-major, t-ascending
+    valid = jnp.take(mask.reshape(-1), perm)
+    ray_id = (perm // K).astype(jnp.int32)
+    from . import volrender
+    starts = volrender.segment_starts(ray_id, N)
+    return {
+        "ray_id": ray_id,
+        "t_starts": jnp.take(t_starts.reshape(-1), perm),
+        "t_ends": jnp.take(t_ends.reshape(-1), perm),
+        "valid": valid,
+        "starts": starts,
+    }

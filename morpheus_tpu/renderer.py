@@ -29,6 +29,14 @@ class RenderConfig:
     topo_none: bool = True
     num_frames: int = 1
     bg_radius: float = 1.4
+    # global sample budget, expressed as an AVERAGE samples-per-ray: after
+    # occupancy marching only the top (N * sample_budget) samples by
+    # approximate contribution (across the WHOLE ray batch) get field
+    # evaluations — rays that miss the object consume no budget, mirroring the
+    # reference's ragged NeRFAcc stream (morpheus.py:628-638) with fixed
+    # shapes. 0 = off (B = N*K). Individual rays may still use up to
+    # max_samples slots.
+    sample_budget: int = 0
     # which extra terms to compute (static; mirrors config weights > 0)
     compute_normals: bool = True
     normal_smooth_3d: bool = True
@@ -49,6 +57,7 @@ class RenderConfig:
         tr, tpu = config["train"], config["tpu"]
         return RenderConfig(
             bound=float(bound), step_size=config["render"]["step_size"],
+            sample_budget=int(tpu.get("sample_budget", 0)),
             march_steps=tpu["march_steps"], max_samples=tpu["max_samples_per_ray"],
             trunc=tr["trunc"], smoothness_std=tr["smoothness_std"],
             topo_none=tr["topo_none"], num_frames=num_frames,
@@ -84,18 +93,36 @@ def render_rays(params: dict, spec: field.FieldSpec, occ_state, key,
     if (not cano) and optimize_pose:
         rays_o, rays_d = field.pose_optimisation(params, rays_o, rays_d, rays_id)
 
-    t_starts, t_ends, mask = occupancy.march_rays(
+    t_starts, t_ends, mask, score = occupancy.march_rays(
         k_march, occ_state, rays_o, rays_d, rcfg.bound, rcfg.step_size,
-        rcfg.march_steps, rcfg.max_samples, stratified=True)
+        rcfg.march_steps, rcfg.max_samples, stratified=True, return_score=True)
+
+    # flatten the (N, K) masked grid into a ray-sorted (B,) stream; when a
+    # sample budget is set, compaction drops padding so field-eval cost tracks
+    # occupied samples (the TPU analogue of NeRFAcc's ragged stream)
+    budget = rcfg.sample_budget * N
+    if budget and budget < N * K:
+        cs = occupancy.compact_samples(t_starts, t_ends, mask, score, budget)
+    else:
+        cs = {
+            "ray_id": jnp.repeat(jnp.arange(N, dtype=jnp.int32), K),
+            "t_starts": t_starts.reshape(-1),
+            "t_ends": t_ends.reshape(-1),
+            "valid": mask.reshape(-1),
+            "starts": jnp.arange(N + 1, dtype=jnp.int32) * K,
+        }
+    ray_id, starts = cs["ray_id"], cs["starts"]
+    valid = cs["valid"]                                          # (B,)
+    B = valid.shape[0]
 
     if light_d is None:
         light_d = safe_normalize(rays_o + jax.random.normal(k_light, (3,)))
 
-    t_mid = 0.5 * (t_starts + t_ends)                           # (N, K)
-    xyzs = rays_o[:, None, :] + rays_d[:, None, :] * t_mid[..., None]
-    x_flat = xyzs.reshape(N * K, 3)
-    t_flat = jnp.broadcast_to(rays_t[:, None, :], (N, K, 1)).reshape(N * K, 1)
-    light_flat = jnp.broadcast_to(light_d[:, None, :], (N, K, 3)).reshape(-1, 3)
+    t_mid = 0.5 * (cs["t_starts"] + cs["t_ends"])                # (B,)
+    x_flat = (jnp.take(rays_o, ray_id, axis=0)
+              + jnp.take(rays_d, ray_id, axis=0) * t_mid[:, None])
+    t_flat = jnp.take(rays_t, ray_id, axis=0)                    # (B, 1)
+    light_flat = jnp.take(light_d, ray_id, axis=0)               # (B, 3)
     dirs_unit = safe_normalize(rays_d)
 
     sdf, sigmas, rgbs, normals, deform, normal_raw = field.forward(
@@ -103,15 +130,12 @@ def render_rays(params: dict, spec: field.FieldSpec, occ_state, key,
         shading_id=shading_id, cano=cano, compute_normals=rcfg.compute_normals,
         max_level=max_level)
 
-    sdf = sdf.reshape(N, K)
-    sigmas = sigmas.reshape(N, K)
-    rgbs = rgbs.reshape(N, K, 3)
-
-    weights, trans, alphas = volrender.render_weights(t_starts, t_ends, sigmas,
-                                                      mask)
-    opacity = volrender.accumulate(weights)                      # (N, 1)
-    depth = volrender.accumulate(weights, t_mid[..., None])[..., 0]  # (N,)
-    rgb = volrender.accumulate(weights, rgbs)                    # (N, 3)
+    weights, trans, alphas = volrender.flat_render_weights(
+        cs["t_starts"], cs["t_ends"], sigmas, valid, ray_id)
+    opacity = volrender.flat_accumulate(weights, None, ray_id, starts)  # (N,1)
+    depth = volrender.flat_accumulate(weights, t_mid[:, None], ray_id,
+                                      starts)[..., 0]            # (N,)
+    rgb = volrender.flat_accumulate(weights, rgbs, ray_id, starts)  # (N, 3)
 
     if bg_color is None:
         if rcfg.bg_radius > 0 and cano and (not real_view):
@@ -122,19 +146,24 @@ def render_rays(params: dict, spec: field.FieldSpec, occ_state, key,
 
     out = {
         "image": image, "depth": depth, "opacity": opacity[..., 0],
-        "weights": weights, "mask": mask, "sdf": sdf, "t_mid": t_mid,
+        "weights": weights, "mask": valid, "sdf": sdf, "t_mid": t_mid,
+        "ray_id": ray_id,
     }
 
     if not train:
         return out
 
-    normals_nk = None
+    valid3 = valid[:, None]                                      # (B, 1)
+
+    def masked_mean(x):
+        m = jnp.broadcast_to(valid3, x.shape)
+        return jnp.sum(jnp.where(m, x, 0.0)) / (jnp.sum(m) + 1e-8)
+
     if rcfg.compute_normals and normals is not None:
-        normals_nk = normals.reshape(N, K, 3)
         # orientation loss (morpheus.py:709-712); weights detached
-        out["loss_orient"] = losses.orientation_loss(
-            jax.lax.stop_gradient(weights), normals_nk,
-            dirs_unit[:, None, :], mask)
+        out["loss_orient"] = losses.orientation_loss_flat(
+            jax.lax.stop_gradient(weights), normals,
+            jnp.take(dirs_unit, ray_id, axis=0), valid, N)
 
         if rcfg.normal_smooth_3d:
             # 3-D perturbation, canonical-space normals with zero topo
@@ -155,7 +184,7 @@ def render_rays(params: dict, spec: field.FieldSpec, occ_state, key,
                 n_p, _ = field.normal(params, spec, xp, topo=topo_p, cano=cano,
                                       max_level=max_level)
             out["loss_normal_perturb"] = losses.normal_perturb_loss(
-                normals_nk, n_p.reshape(N, K, 3), mask)
+                normals, n_p, valid)
 
             if rcfg.normal_smooth_3d_t:
                 # time-perturbed topo normals (morpheus.py:743-748)
@@ -166,21 +195,21 @@ def render_rays(params: dict, spec: field.FieldSpec, occ_state, key,
                 n_t, _ = field.normal(params, spec, x_flat, topo=topo_t,
                                       cano=cano, max_level=max_level)
                 out["loss_normal_perturb_t"] = losses.normal_perturb_loss(
-                    normals_nk, n_t.reshape(N, K, 3), mask)
+                    normals, n_t, valid)
 
             if rcfg.deform_smooth and not cano and deform is not None:
                 # deform smoothness at the perturbed points (morpheus.py:750-754)
                 deform_p, _ = field.warp(params, spec, xp, t_flat, max_level)
-                out["loss_deform_perturb"] = jnp.mean(jnp.abs(deform - deform_p))
+                out["loss_deform_perturb"] = masked_mean(
+                    jnp.abs(deform - deform_p))
 
         if normal_raw is not None:
-            out["normal_raw_eik"] = losses.eikonal_loss(
-                normal_raw.reshape(N, K, 3), mask)
+            out["normal_raw_eik"] = losses.eikonal_loss(normal_raw, valid)
 
         if rcfg.normal_smooth_2d and not real_view:
             # accumulated normal image for 2-D smoothness (morpheus.py:773-776)
-            out["normal_image"] = volrender.accumulate(
-                weights, (normals_nk + 1.0) / 2.0)
+            out["normal_image"] = volrender.flat_accumulate(
+                weights, (normals + 1.0) / 2.0, ray_id, starts)
 
     if (rcfg.deform_smooth_t or rcfg.topo_smooth_t) and not cano \
             and deform is not None:
@@ -191,9 +220,10 @@ def render_rays(params: dict, spec: field.FieldSpec, occ_state, key,
         _, topo0 = field.warp(params, spec, x_flat, t_flat, max_level)
         deform_t, topo_t = field.warp(params, spec, x_flat, t_jit, max_level)
         if rcfg.deform_smooth_t:
-            out["loss_deform_perturb_t"] = jnp.mean(jnp.abs(deform - deform_t))
+            out["loss_deform_perturb_t"] = masked_mean(
+                jnp.abs(deform - deform_t))
         if rcfg.topo_smooth_t:
-            out["loss_topo_perturb_t"] = jnp.mean(jnp.abs(topo0 - topo_t))
+            out["loss_topo_perturb_t"] = masked_mean(jnp.abs(topo0 - topo_t))
 
     if rcfg.code_reg and not cano:
         # temporal second-difference code smoothness (morpheus.py:762-771)
@@ -210,14 +240,15 @@ def render_rays(params: dict, spec: field.FieldSpec, occ_state, key,
             max_level)
 
     if rays_depth is not None:
-        fs_loss, sdf_loss = losses.sdf_losses(
-            t_mid, rays_depth.reshape(N, 1), sdf, rcfg.trunc, mask,
-            ray_mask=rays_mask.reshape(N, 1) if rays_mask is not None else None)
+        fs_loss, sdf_loss = losses.sdf_losses_flat(
+            t_mid, rays_depth.reshape(-1), sdf, rcfg.trunc, valid, ray_id,
+            starts,
+            ray_mask=rays_mask.reshape(-1) if rays_mask is not None else None)
         out["fs_loss"] = fs_loss
         out["sdf_loss"] = sdf_loss
 
     if deform is not None:
-        out["deform_abs"] = jnp.mean(jnp.abs(deform))
+        out["deform_abs"] = masked_mean(jnp.abs(deform))
 
     return out
 

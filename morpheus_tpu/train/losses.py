@@ -49,6 +49,53 @@ def sdf_losses(t_mid, target_d, predicted_sdf, truncation, sample_mask,
     return fs_loss, sdf_loss
 
 
+def sdf_losses_flat(t_mid, target_d, predicted_sdf, truncation, valid,
+                    ray_id, starts, ray_mask=None):
+    """sdf_losses on a flat ray-sorted sample stream (see
+    ops/volrender.flat_render_weights). t_mid/predicted_sdf/valid: (B,);
+    target_d: (N,) per-ray GT depth; ray_id (B,), starts (N+1,).
+    Identical math to sdf_losses — per-ray sums become cumsum boundary
+    differences."""
+    td = jnp.take(target_d, ray_id)                                # (B,)
+    depth_mask = td > 0.0
+    front_mask = t_mid < (td - truncation)
+    front_mask = front_mask | ((td < 0.0) & (t_mid < 3.5))
+    bound = jnp.where(depth_mask, td - t_mid, 10.0)
+    sdf_mask = (jnp.abs(bound) <= truncation) & depth_mask
+    if ray_mask is not None:
+        sdf_mask = sdf_mask & (jnp.take(ray_mask, ray_id) > 0.5)
+
+    front_mask = front_mask & valid
+    sdf_mask = sdf_mask & valid
+
+    from ..ops import volrender
+
+    def per_ray_sum(x):
+        return volrender.flat_segment_sum(x, ray_id, starts)          # (N,)
+
+    sum_of_samples = (per_ray_sum(front_mask.astype(jnp.float32))
+                      + per_ray_sum(sdf_mask.astype(jnp.float32)) + 1e-8)
+    rays_w_depth = jnp.count_nonzero(target_d) + 1e-8
+
+    fs = jnp.clip(jnp.maximum(jnp.exp(-5.0 * predicted_sdf) - 1.0,
+                              predicted_sdf - bound), 0.0, None)
+    fs_loss = jnp.sum(per_ray_sum(jnp.where(front_mask, fs, 0.0))
+                      / sum_of_samples) / rays_w_depth
+
+    sdf_l = jnp.abs(predicted_sdf - bound)
+    sdf_loss = jnp.sum(per_ray_sum(jnp.where(sdf_mask, sdf_l, 0.0))
+                       / sum_of_samples) / rays_w_depth
+    return fs_loss, sdf_loss
+
+
+def orientation_loss_flat(weights, normals, dirs, valid, num_rays):
+    """orientation_loss on a flat stream: mean over rays of per-ray sums ==
+    sum of all per-sample terms / N."""
+    n_dot_d = jnp.sum(normals * dirs, -1)
+    term = jnp.clip(n_dot_d, 0.0, None) ** 2 * jnp.where(valid, weights, 0.0)
+    return jnp.sum(term) / num_rays
+
+
 def rgb_loss(pred_rgb, gt_rgb):
     return jnp.mean((pred_rgb - gt_rgb) ** 2)
 

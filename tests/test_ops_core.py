@@ -164,3 +164,69 @@ def test_update_occupancy_marks_dense_region():
     outside = np.linalg.norm(centers, axis=-1) > 0.6
     assert bins[inside].mean() > 0.9
     assert bins[outside].mean() < 0.1
+
+
+# ---- flat (compacted) segment rendering ----
+
+def test_flat_render_matches_dense():
+    rng = np.random.default_rng(1)
+    N, K = 8, 16
+    t0 = np.cumsum(rng.uniform(0.01, 0.02, (N, K)), -1).astype(np.float32)
+    t1 = (t0 + 0.01).astype(np.float32)
+    sig = rng.uniform(0, 50, (N, K)).astype(np.float32)
+    mask = rng.uniform(size=(N, K)) > 0.3
+    vals = rng.normal(size=(N, K, 3)).astype(np.float32)
+
+    w_d, _, _ = volrender.render_weights(*map(jnp.asarray, (t0, t1, sig, mask)))
+    acc_d = volrender.accumulate(w_d, jnp.asarray(vals))
+
+    ray_id = jnp.repeat(jnp.arange(N, dtype=jnp.int32), K)
+    starts = jnp.arange(N + 1, dtype=jnp.int32) * K
+    w_f, _, _ = volrender.flat_render_weights(
+        jnp.asarray(t0.reshape(-1)), jnp.asarray(t1.reshape(-1)),
+        jnp.asarray(sig.reshape(-1)), jnp.asarray(mask.reshape(-1)), ray_id)
+    np.testing.assert_allclose(np.asarray(w_f).reshape(N, K), np.asarray(w_d),
+                               rtol=1e-5, atol=1e-7)
+    acc_f = volrender.flat_accumulate(w_f, jnp.asarray(vals.reshape(-1, 3)),
+                                      ray_id, starts)
+    np.testing.assert_allclose(np.asarray(acc_f), np.asarray(acc_d),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_compact_samples_keeps_all_when_budget_ample():
+    rng = np.random.default_rng(2)
+    N, K = 6, 8
+    t0 = np.cumsum(rng.uniform(0.01, 0.02, (N, K)), -1).astype(np.float32)
+    t1 = (t0 + 0.01).astype(np.float32)
+    mask = rng.uniform(size=(N, K)) > 0.5
+    score = np.where(mask, rng.uniform(0.1, 1.0, (N, K)), -1.0).astype(np.float32)
+
+    cs = occupancy.compact_samples(jnp.asarray(t0), jnp.asarray(t1),
+                                   jnp.asarray(mask), jnp.asarray(score),
+                                   budget=N * K)
+    # every valid sample survives, ray-sorted, with correct boundaries
+    assert int(cs["valid"].sum()) == int(mask.sum())
+    rid = np.asarray(cs["ray_id"])
+    assert (np.diff(rid) >= 0).all()
+    starts = np.asarray(cs["starts"])
+    for r in range(N):
+        seg = slice(starts[r], starts[r + 1])
+        v = np.asarray(cs["valid"])[seg]
+        ts = np.asarray(cs["t_starts"])[seg][v]
+        np.testing.assert_allclose(np.sort(ts), np.sort(t0[r][mask[r]]),
+                                   rtol=1e-6)
+
+
+def test_compact_samples_budget_drops_lowest_score():
+    N, K = 2, 4
+    t0 = np.tile(np.arange(K, dtype=np.float32)[None] * 0.01 + 0.01, (N, 1))
+    t1 = t0 + 0.01
+    mask = np.ones((N, K), bool)
+    score = np.array([[0.9, 0.8, 0.1, 0.2], [0.7, 0.05, 0.6, 0.02]],
+                     np.float32)
+    cs = occupancy.compact_samples(jnp.asarray(t0), jnp.asarray(t1),
+                                   jnp.asarray(mask), jnp.asarray(score),
+                                   budget=4)
+    kept = set(zip(np.asarray(cs["ray_id"]).tolist(),
+                   np.round(np.asarray(cs["t_starts"]) / 0.01).astype(int).tolist()))
+    assert kept == {(0, 1), (0, 2), (1, 1), (1, 3)}
