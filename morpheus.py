@@ -37,11 +37,21 @@ def main(argv=None):
 
     if config["data"]["data_dir"] == "<synthetic>":
         from morpheus_tpu.data.synthetic import make_synthetic_scene
-        scene = make_synthetic_scene()
+        res = int(config["data"].get("synthetic_res", 64))
+        scene = make_synthetic_scene(
+            num_frames=int(config["data"].get("synthetic_frames", 8)),
+            H=res, W=res)
     else:
         scene = None
     dataset = DeformDataset(config, scene=scene)
     log(f"Loaded {dataset.num_frames} frames at {dataset.H}x{dataset.W}")
+    if scene is not None:
+        # materialize GT backprojection meshes so the full 3-D metric pipeline
+        # (Acc/Comp, tools/culling.py:262-268 protocol) runs on the synthetic
+        # scene exactly as it would on a KillingFusion scan
+        from morpheus_tpu.eval.backproj import write_backproj_meshes
+        dataset.data_dir = write_backproj_meshes(
+            scene, os.path.join(workspace, "gt_synth"))
 
     guidance = None
     if config["guidance"]["model"] and config["guidance"].get("zero123_ckpt"):

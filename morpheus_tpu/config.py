@@ -35,6 +35,10 @@ DEFAULTS: dict[str, dict[str, Any]] = {
         "default_azimuth": 0.0,
         "uniform_sphere_rate": 0.0,
         "outlier_remove": False,
+        # <synthetic> scene generator knobs (benchmark/CI scene; ignored for
+        # on-disk datasets)
+        "synthetic_frames": 8,
+        "synthetic_res": 64,
     },
     "exp": {
         "output": "./exp",
@@ -127,6 +131,8 @@ DEFAULTS: dict[str, dict[str, Any]] = {
     "tpu": {
         "max_samples_per_ray": 64,   # K: post-compaction samples per ray
         "march_steps": 256,          # M: candidate occupancy-test steps per ray
+        "band_budget": 8,            # surface-band points/ray kept for the
+                                     # normal-smoothness ladder (0 = all P)
         "sample_budget": 16,         # average samples/ray: global top-(N*this)
                                      # sample compaction across the ray batch
                                      # (0 = off); field evals then track

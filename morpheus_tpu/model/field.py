@@ -210,21 +210,28 @@ def get_topo(params: dict, spec: FieldSpec, x, t, max_level=None):
 
 # ---- canonical field ----
 
-def _grid_features(params: dict, spec: FieldSpec, x, max_level=None):
+def _grid_features(params: dict, spec: FieldSpec, x, max_level=None,
+                   with_color: bool = True):
     """(enc_sdf, enc_color) hash features of canonical positions.
 
     When a color grid exists, BOTH grids share the same corner indices (same
     spec, same positions), so they are gathered as one fused (T, 2C) table —
     one row-gather and one sorted-segment-sum cotangent stream instead of two
     of each (gather/scatter cost on v5e is row-count-bound, not width-bound).
+
+    with_color=False skips the color half: normal-only evaluation sites
+    (perturbed-normal smoothness, the surface band) and density-only queries
+    would otherwise gather color features just to discard them — and, worse,
+    drag two all-zero cotangent payload columns through the backward sort.
     """
     import dataclasses as _dc
-    if spec.color_grid:
+    if spec.color_grid and with_color:
         emb = jnp.concatenate([params["sdf_grid"], params["color_grid"]], -1)
         gspec = _dc.replace(spec.grid, level_dim=2 * spec.grid.level_dim)
         out = hashgrid.encode(x, emb, gspec, bound=spec.bound,
                               max_level=max_level,
-                              active_levels=spec.active_levels)
+                              active_levels=spec.active_levels,
+                              compute_dtype=spec.cdt)
         L, C = spec.grid.num_levels, spec.grid.level_dim
         o = out.reshape(x.shape[:-1] + (L, 2 * C))
         enc_sdf = o[..., :C].reshape(x.shape[:-1] + (L * C,))
@@ -232,7 +239,8 @@ def _grid_features(params: dict, spec: FieldSpec, x, max_level=None):
         return enc_sdf, enc_col
     enc_sdf = hashgrid.encode(x, params["sdf_grid"], spec.grid,
                               bound=spec.bound, max_level=max_level,
-                              active_levels=spec.active_levels)
+                              active_levels=spec.active_levels,
+                              compute_dtype=spec.cdt)
     return enc_sdf, None
 
 
@@ -248,11 +256,13 @@ def _sdf_head(params: dict, spec: FieldSpec, x, enc, topo, max_level):
     return h[..., 0], h[..., 1:]
 
 
-def sdf_geo(params: dict, spec: FieldSpec, x, topo, max_level=None):
+def sdf_geo(params: dict, spec: FieldSpec, x, topo, max_level=None,
+            with_color: bool = False):
     """(sdf, geo_feat) of canonical positions (models/model.py:273-293).
-    Uses the fused grid gather so it CSEs with sigma_albedo/forward on the
-    same positions (the color half is sliced off unused)."""
-    enc, _ = _grid_features(params, spec, x, max_level)
+    Gathers only the SDF grid by default — every current caller (normals,
+    mesh export) discards color; pass with_color=True to share the fused
+    gather with a co-located color query."""
+    enc, _ = _grid_features(params, spec, x, max_level, with_color=with_color)
     return _sdf_head(params, spec, x, enc, topo, max_level)
 
 
@@ -261,7 +271,8 @@ def albedo(params: dict, spec: FieldSpec, x, geo_feat, app_code=None,
     """Color branch (models/model.py:295-302)."""
     if spec.color_grid:
         enc_c = hashgrid.encode(x, params["color_grid"], spec.grid,
-                                bound=spec.bound, max_level=max_level)
+                                bound=spec.bound, max_level=max_level,
+                                compute_dtype=spec.cdt)
     else:
         enc_c = encodings.freq_encode(x, 6, max_level)
     feat = jnp.concatenate([enc_c, geo_feat], axis=-1)
@@ -276,7 +287,8 @@ def sigma_albedo(params: dict, spec: FieldSpec, x, topo=None, app_code=None,
                  return_color: bool = True, max_level=None):
     """(sdf, sigma, albedo) of canonical positions (models/model.py:273-307).
     One fused grid gather serves both the SDF and color branches."""
-    enc_sdf, enc_col = _grid_features(params, spec, x, max_level)
+    enc_sdf, enc_col = _grid_features(params, spec, x, max_level,
+                                      with_color=return_color)
     sdf, geo_feat = _sdf_head(params, spec, x, enc_sdf, topo, max_level)
     sigma = density.laplace_density(sdf, params["beta"])
     rgb = None

@@ -44,6 +44,12 @@ class RenderConfig:
     normal_smooth_2d: bool = False
     code_reg: bool = True
     outside_radius: float = 1.1
+    # surface-band point budget (avg points/ray): the band ladder spawns
+    # P=trunc*100+1 points per ray but only those with |x| < outside_radius
+    # contribute (morpheus.py:539-541 filters them out BEFORE evaluating;
+    # background rays put the whole ladder at the camera, |x|≈2.5). Budgeting
+    # to N*band_budget drops the filtered points pre-eval. 0 = no budget.
+    band_budget: int = 8
     # dormant reference options (all 0/False in shipped configs, but flipping
     # the knob must produce the loss — morpheus.py:716-760)
     normal_dir: bool = False          # perturb along ortho-normal dirs (:716-718)
@@ -58,6 +64,7 @@ class RenderConfig:
         return RenderConfig(
             bound=float(bound), step_size=config["render"]["step_size"],
             sample_budget=int(tpu.get("sample_budget", 0)),
+            band_budget=int(tpu.get("band_budget", 8)),
             march_steps=tpu["march_steps"], max_samples=tpu["max_samples_per_ray"],
             trunc=tr["trunc"], smoothness_std=tr["smoothness_std"],
             topo_none=tr["topo_none"], num_frames=num_frames,
@@ -268,8 +275,9 @@ def _surface_band_normal_smoothness(params, spec, key, rays_o, rays_d, rays_t,
     """L_smooth in observation space near the rendered surface
     (morpheus.py:530-556). The reference filters points with |x|<1.1 to a ragged
     set; here the filter is a weight mask over the fixed (P, N) ladder."""
-    k1, k2 = jax.random.split(key)
+    k1, k2, k3 = jax.random.split(key, 3)
     P = int(rcfg.trunc * 100 + 1)
+    N = depth.shape[0]
     ladder = jnp.linspace(-0.5 * rcfg.trunc, 0.5 * rcfg.trunc, P)
     ladder = ladder + 0.01 * jax.random.uniform(k1, (P,))
 
@@ -279,6 +287,18 @@ def _surface_band_normal_smoothness(params, spec, key, rays_o, rays_d, rays_t,
     pts = pts.reshape(-1, 3)
     ts = jnp.broadcast_to(rays_t[None], (P,) + rays_t.shape).reshape(-1, 1)
     in_band = jnp.linalg.norm(pts, axis=-1) < rcfg.outside_radius
+
+    if rcfg.band_budget and rcfg.band_budget * N < P * N:
+        # keep only (a random subset of) in-band points: the filter is known
+        # before any field evaluation, so background rays — whose whole
+        # ladder sits at the camera, outside the radius — cost nothing
+        B = rcfg.band_budget * N
+        score = jnp.where(in_band,
+                          jax.random.uniform(k3, in_band.shape), -1.0)
+        _, sel = jax.lax.top_k(score, B)
+        pts = jnp.take(pts, sel, axis=0)
+        ts = jnp.take(ts, sel, axis=0)
+        in_band = jnp.take(in_band, sel, axis=0)
 
     n1, _ = field.normal(params, spec, pts, t=ts, max_level=max_level)
     w = _ortho_normal_dir(k2, n1)

@@ -123,9 +123,20 @@ class Trainer:
     def _occ_density_fn(self, params, t_scalar, spec=None):
         spec = spec or self.spec
 
-        def fn(x):
+        def one(x):
             return field.query_density(params, spec, x, t=t_scalar,
                                        return_color=False)["sigma"]
+
+        def fn(x):
+            # chunk large grids (warmup evaluates all R^3 cells): one call at
+            # 128^3 builds a 268M-row gather whose boundary tensors can't be
+            # fused/tiled sanely (bf16 OOMs at compile); lax.map bounds the
+            # live set per chunk
+            M, chunk = x.shape[0], 32768
+            if M <= chunk or M % chunk:
+                return one(x)
+            out = jax.lax.map(one, x.reshape(M // chunk, chunk, 3))
+            return out.reshape(-1)
         return fn
 
     def _maybe_update_occ(self, occ, params, key, step, t_scalar, spec=None):
@@ -560,6 +571,10 @@ class Trainer:
         ml = np.minimum(np.float32(1.0),
                         np.float32(0.5) + np.float32(0.5) * ratio)
         active = int(np.ceil(ml * np.float32(L)))
+        # quantize UP to the next even count: running with more static levels
+        # than the traced mask needs is exact (the mask zero-fills them), and
+        # it halves the number of jit variants a run compiles (~200 s each)
+        active = min(L, active + (active & 1))
         return max(1, min(L, active))
 
     def _virtual_step_for_scale(self, scale: float, active_levels=None):

@@ -149,3 +149,20 @@ def test_clip_eval_similarity_sanity():
     s_ab = enc.get_similarity_from_image(a, b)
     assert abs(s_aa - 1.0) < 1e-4
     assert s_ab < s_aa
+
+
+def test_backproject_mesh_lies_on_sphere():
+    from morpheus_tpu.data.synthetic import make_synthetic_scene
+    from morpheus_tpu.eval.backproj import backproject_mesh
+
+    scene = make_synthetic_scene(num_frames=2, H=48, W=48, motion=0.0)
+    v, f = backproject_mesh(np.asarray(scene["depths"][0]),
+                            np.asarray(scene["masks"][0]),
+                            np.asarray(scene["K"]),
+                            np.asarray(scene["poses"][0], np.float64))
+    assert len(v) > 100 and len(f) > 100
+    r = np.linalg.norm(v, axis=1)
+    # all vertices on the radius-0.5 sphere (front hemisphere)
+    np.testing.assert_allclose(np.median(r), 0.5, atol=0.02)
+    assert np.abs(r - 0.5).max() < 0.05
+    assert f.min() >= 0 and f.max() < len(v)
