@@ -52,7 +52,7 @@ def main():
         "train": {"real_ray_num": 2048, "real_freq": 1, "n_iters": 1},
         "model": {"bg_radius": 0.0},
         "render": {"step_size": 0.01},
-        "tpu": {"max_samples_per_ray": 64, "march_steps": 256,
+        "tpu": {"max_samples_per_ray": 64, "march_steps": 288,
                 "occ_resolution": 128, "occ_warmup_steps": 256,
                 "occ_update_every": 16},
     })

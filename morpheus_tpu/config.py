@@ -130,7 +130,11 @@ DEFAULTS: dict[str, dict[str, Any]] = {
     # TPU-native knobs (no reference equivalent).
     "tpu": {
         "max_samples_per_ray": 64,   # K: post-compaction samples per ray
-        "march_steps": 256,          # M: candidate occupancy-test steps per ray
+        "march_steps": 288,          # M: candidate occupancy-test steps per ray
+                                     # (288*0.01 = 2.88 > 2.76, the farthest
+                                     # an inscribed-sphere exit point can sit
+                                     # from AABB entry on a diagonal chord —
+                                     # no ray's far segment goes untested)
         "band_budget": 8,            # surface-band points/ray kept for the
                                      # normal-smoothness ladder (0 = all P)
         "sample_budget": 16,         # average samples/ray: global top-(N*this)

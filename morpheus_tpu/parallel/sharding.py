@@ -78,8 +78,10 @@ def make_sharded_virtual_step(trainer: Trainer, mesh: Mesh,
     mesh (one full view — render + VAE encode + UNet CFG — per device; the SDS
     workload is embarrassingly data-parallel over views). Gradients are the
     mean over views; params/opt/occ replicated. Returns
-    step(state, batch, key, epoch) -> (state, loss). Batch arrays carry a
-    leading V axis (see host_sample_virtual_batch)."""
+    step(state, guidance, embeddings, batch, key, epoch) -> (state, loss) —
+    guidance/embeddings are jit arguments so the Zero123 weights never become
+    HLO constants. Batch arrays carry a leading V axis (see
+    host_sample_virtual_batch)."""
     replicated = NamedSharding(mesh, P())
     curr = trainer.curr
     vf = trainer.config["train"]["virtual_freq"]
@@ -91,7 +93,7 @@ def make_sharded_virtual_step(trainer: Trainer, mesh: Mesh,
 
     n_dev = mesh.devices.size
 
-    def step(state: TrainState, batch, key, epoch):
+    def step(state: TrainState, guidance, embeddings, batch, key, epoch):
         lr = curr.learning_rate(epoch)
         max_level = curr.max_level(epoch)
         freeze = curr.freeze_deform(epoch)
@@ -100,7 +102,7 @@ def make_sharded_virtual_step(trainer: Trainer, mesh: Mesh,
         # shard_map (not vmap): each device traces its local views unbatched —
         # the hash-grid linear_call VJP has no batching rule, and per-view
         # execution is exactly the parallelism we want anyway.
-        def local_grads(params, occ, batch_shard, key):
+        def local_grads(params, occ, g, emb, batch_shard, key):
             kd = jax.random.fold_in(key, jax.lax.axis_index(axis))
 
             def loss_fn(p):
@@ -109,19 +111,19 @@ def make_sharded_virtual_step(trainer: Trainer, mesh: Mesh,
                     b = jax.tree.map(lambda x: x[i], batch_shard)
                     li, _ = trainer.virtual_loss_from_batch(
                         p, occ, jax.random.fold_in(kd, i), epoch, max_level,
-                        b, H, W)
+                        b, H, W, guidance=g, embeddings=emb)
                     total += li
                 return total / v_loc
 
             loss, grads = jax.value_and_grad(loss_fn)(params)
             return (jax.lax.pmean(loss, axis),
-                    jax.tree.map(lambda g: jax.lax.pmean(g, axis), grads))
+                    jax.tree.map(lambda g_: jax.lax.pmean(g_, axis), grads))
 
         loss, grads = jax.shard_map(
             local_grads, mesh=mesh,
-            in_specs=(P(), P(), P(axis), P()),
+            in_specs=(P(), P(), P(), P(), P(axis), P()),
             out_specs=(P(), P()), check_vma=False)(
-                state.params, state.occ, batch, key)
+                state.params, state.occ, guidance, embeddings, batch, key)
         grads = jax.tree.map(lambda a: a / vf, grads)
 
         # same freeze semantics as the single-chip virtual step: apply now

@@ -344,11 +344,15 @@ class Trainer:
         imgs = jnp.asarray(np.stack(imgs))
 
         spec = self.guidance_spec
-        embed = jax.jit(lambda im: (z123.clip_image_embed(guidance, im, spec),
-                                    z123.vae_encode_mode(guidance, im, spec)))
+        # guidance is a jit ARGUMENT, not a closure: closed-over weights
+        # become HLO constants — at the real checkpoint size that is ~1.5 GB
+        # of constants in the serialized module, which remote-compile setups
+        # reject outright
+        embed = jax.jit(lambda g, im: (z123.clip_image_embed(g, im, spec),
+                                       z123.vae_encode_mode(g, im, spec)))
         c_crossattn, c_concat = [], []
         for i in range(len(kf)):
-            c, v = embed(imgs[i:i + 1])
+            c, v = embed(guidance, imgs[i:i + 1])
             c_crossattn.append(c)
             c_concat.append(v)
 
@@ -365,7 +369,7 @@ class Trainer:
         }
 
     def _virtual_loss(self, params, occ, key, epoch, max_level, sampler,
-                      spec=None):
+                      spec=None, guidance=None, embeddings=None):
         """Virtual-view SDS loss (reference train_step(real_view=False),
         morpheus.py:1147-1236 + get_virtual_view_loss :1044-1088)."""
         k_v, k_rest = jax.random.split(key)
@@ -377,20 +381,25 @@ class Trainer:
             batch = sampler.sample(k_v)
         return self.virtual_loss_from_batch(params, occ, k_rest, epoch,
                                             max_level, batch,
-                                            sampler.H, sampler.W, spec=spec)
+                                            sampler.H, sampler.W, spec=spec,
+                                            guidance=guidance,
+                                            embeddings=embeddings)
 
     def virtual_loss_from_batch(self, params, occ, key, epoch, max_level,
-                                batch, H, W, spec=None):
+                                batch, H, W, spec=None, guidance=None,
+                                embeddings=None):
         spec = spec or self.spec
         """SDS loss on one explicit virtual view (H*W rays + Δangles). Batch-
         explicit so the multi-chip path (parallel/sharding.py) can vmap it
-        over a views axis sharded across devices."""
+        over a views axis sharded across devices. guidance/embeddings should
+        come in as traced jit arguments (closure capture would bake the
+        weights into the compiled module as constants)."""
         from ..guidance import zero123 as z123
 
         cfg = self.config
         tr, gd = cfg["train"], cfg["guidance"]
-        emb = self._embeddings
-        g = self.guidance
+        emb = embeddings if embeddings is not None else self._embeddings
+        g = guidance if guidance is not None else self.guidance
         k_shade, k_amb, k_bg, k_bgsel, k_r, k_sds, k_pick = \
             jax.random.split(key, 7)
 
@@ -478,7 +487,7 @@ class Trainer:
         spec = self._spec_for_levels(active_levels)
 
         @jax.jit
-        def virtual_step(state: TrainState, key, epoch):
+        def virtual_step(state: TrainState, guidance, embeddings, key, epoch):
             step = state.global_step
             lr = curr.learning_rate(epoch)
             max_level = curr.max_level(epoch)
@@ -491,7 +500,9 @@ class Trainer:
 
             def loss_fn(params):
                 loss, out = self._virtual_loss(params, occ, k_loss, epoch,
-                                               max_level, sampler, spec)
+                                               max_level, sampler, spec,
+                                               guidance=guidance,
+                                               embeddings=embeddings)
                 return loss, out.get("sds_diag", {})
 
             (loss, diag), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -528,12 +539,10 @@ class Trainer:
         from ..guidance import zero123 as z123
         if self._panel_fn is None:
             spec = self.guidance_spec
-            g = self.guidance
             self._panel_fn = jax.jit(
-                lambda d: z123.guidance_panels(g, d["pred_rgb"],
-                                               d, spec))
+                lambda g, d: z123.guidance_panels(g, d["pred_rgb"], d, spec))
         t_val = int(np.asarray(diag["t"])[0])
-        panel = np.asarray(self._panel_fn(diag)[0])
+        panel = np.asarray(self._panel_fn(self.guidance, diag)[0])
         path = os.path.join(self.workspace, "guidance",
                             f"{step:06d}_zero123_{t_val}.png")
         os.makedirs(os.path.dirname(path), exist_ok=True)
@@ -616,7 +625,8 @@ class Trainer:
                     self.key, kb = jax.random.split(self.key)
                     vb = sharding.sample_virtual_batch(vsampler, kb, self.dp)
                     vb = sharding.shard_batch(vb, self.mesh)
-                    self.state, loss = vstep(self.state, vb, k, epoch)
+                    self.state, loss = vstep(self.state, self.guidance,
+                                             self._embeddings, vb, k, epoch)
                 else:
                     batch, bg = sharding.host_sample_real_batch(
                         self._np_rng, self.data, nf, tr["real_ray_num"])
@@ -664,7 +674,8 @@ class Trainer:
                 self.key, k = jax.random.split(self.key)
                 # warm-up forces real views (morpheus.py:1174-1175)
                 if use_sds and host_step >= tr["warm_up_steps"]:
-                    self.state, loss, diag = virtual_step(self.state, k, epoch)
+                    self.state, loss, diag = virtual_step(
+                        self.state, self.guidance, self._embeddings, k, epoch)
                     if (exp["save_guidance"] and diag
                             and host_step % exp["save_guide_intervel"] == 0
                             and self.workspace):

@@ -71,7 +71,8 @@ def test_sharded_virtual_step_runs(tiny_sds_trainer):
     state = sharding.replicate_state(trainer.state, mesh)
 
     # early epoch: deform freeze active so the optimizer applies immediately
-    new_state, loss = step(state, sb, jax.random.PRNGKey(0), jnp.asarray(1.0))
+    new_state, loss = step(state, trainer.guidance, trainer._embeddings, sb,
+                           jax.random.PRNGKey(0), jnp.asarray(1.0))
     assert np.isfinite(float(loss))
     diff = sum(float(jnp.abs(a - b).sum()) for a, b in zip(
         jax.tree.leaves(new_state.params), jax.tree.leaves(state.params)))

@@ -146,3 +146,26 @@ def test_kill_and_resume_is_exact(tiny_config, tmp_path):
         lambda a, b: np.testing.assert_array_equal(np.asarray(a),
                                                    np.asarray(b)),
         t_full.state.params, t_b.state.params)
+
+
+def test_budget_compaction_matches_full_eval(trained):
+    """With an ample budget, compacted rendering must equal the identity flat
+    path exactly on eval outputs (train=False: no RNG-shape divergence)."""
+    import dataclasses
+    cfg, ds, trainer, _ = trained
+    data = trainer.data
+    rays = data_lib.full_frame_rays(data, ds.num_frames, 0)
+    args = (rays["rays_o"], rays["rays_d"], rays["rays_t"], rays["rays_id"])
+
+    rc_off = dataclasses.replace(trainer.rcfg, sample_budget=0)
+    rc_on = dataclasses.replace(trainer.rcfg,
+                                sample_budget=trainer.rcfg.max_samples - 1)
+    out0 = renderer.render_rays(trainer.state.params, trainer.spec,
+                                trainer.state.occ, jax.random.PRNGKey(3),
+                                *args, rc_off, bg_color=1.0, train=False)
+    out1 = renderer.render_rays(trainer.state.params, trainer.spec,
+                                trainer.state.occ, jax.random.PRNGKey(3),
+                                *args, rc_on, bg_color=1.0, train=False)
+    for k in ("image", "depth", "opacity"):
+        np.testing.assert_allclose(np.asarray(out1[k]), np.asarray(out0[k]),
+                                   rtol=2e-4, atol=2e-5)
