@@ -152,7 +152,16 @@ def calc_3d_metric(rec_meshfile, gt_meshfile, align=True, num_points=50000):
     rv, rf, _ = meshing.load_ply(rec_meshfile)
     gv, gf, _ = meshing.load_ply(gt_meshfile)
     if align and len(rv) >= 3 and len(gv) >= 3:
-        T = icp_point_to_point(rv.astype(np.float64), gv.astype(np.float64),
+        # estimate the alignment on <=100k vertices: the subdivided culled
+        # mesh can carry millions, and ICP queries every source point against
+        # the KD-tree each iteration — a 100k subsample gives a statistically
+        # identical rigid fit at a fraction of the cost
+        src = rv
+        if len(src) > 100_000:
+            sel = np.random.default_rng(0).choice(len(src), 100_000,
+                                                  replace=False)
+            src = src[sel]
+        T = icp_point_to_point(src.astype(np.float64), gv.astype(np.float64),
                                threshold=0.1)
         rv = rv @ T[:3, :3].T + T[:3, 3]
 
@@ -178,12 +187,49 @@ def cull_meshes(mesh_dir, save_dir, dataset, target):
                       depth_gt=depth_gt, eps=0.005)
 
 
-def eval_mesh_3d(rec_files, gt_files, save_file, epoch):
-    accs, comps = [], []
-    for rec, gt in zip(rec_files, gt_files):
-        r = calc_3d_metric(rec, gt)
-        accs.append(r["acc"])
-        comps.append(r["comp"])
+def _metric_one_main():
+    """Subprocess entry: compute Acc/Comp for one (rec, gt) mesh pair and
+    print them. Runs with JAX_PLATFORMS=cpu so worker processes never touch
+    the accelerator the trainer owns."""
+    import sys
+    r = calc_3d_metric(sys.argv[1], sys.argv[2])
+    print(f"{r['acc']} {r['comp']}")
+
+
+def eval_mesh_3d(rec_files, gt_files, save_file, epoch, workers=None):
+    """Per-frame metrics, parallel across CPU subprocesses (the ICP +
+    50k-sample KDTree stage is minutes per frame; the reference hides the same
+    cost in background threads, morpheus.py:1513-1516 — subprocesses actually
+    use the cores AND keep worker JAX on the CPU backend)."""
+    import subprocess
+    import sys
+    from concurrent.futures import ThreadPoolExecutor
+
+    workers = workers or min(10, os.cpu_count() or 1, len(rec_files))
+    root = os.path.dirname(os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))))
+    env = dict(os.environ, JAX_PLATFORMS="cpu",
+               PYTHONPATH=root + os.pathsep + os.environ.get("PYTHONPATH", ""))
+    for k in ("TPU_NAME", "PALLAS_AXON_POOL_IPS", "PALLAS_AXON_REMOTE_COMPILE"):
+        env.pop(k, None)
+
+    def one(args):
+        rec, gt = args
+        out = subprocess.run(
+            [sys.executable, "-c",
+             "from morpheus_tpu.eval.culling import _metric_one_main; "
+             "_metric_one_main()", rec, gt],
+            env=env, capture_output=True, text=True, timeout=3600)
+        if out.returncode != 0:
+            raise RuntimeError(f"metric worker failed for {rec}: "
+                               + out.stderr[-500:])
+        a, c = out.stdout.split()[-2:]
+        return float(a), float(c)
+
+    with ThreadPoolExecutor(workers) as ex:
+        res = list(ex.map(one, zip(rec_files, gt_files)))
+    accs = [r[0] for r in res]
+    comps = [r[1] for r in res]
     with open(save_file, "a") as f:
         print(f"Ep_{epoch}:\t Acc:{np.mean(accs)}\t Comp:{np.mean(comps)}",
               file=f)
