@@ -57,15 +57,21 @@ def main(argv=None):
     if config["guidance"]["model"] and config["guidance"].get("zero123_ckpt"):
         ckpt = config["guidance"]["zero123_ckpt"]
         if os.path.exists(ckpt):
-            from morpheus_tpu.guidance.zero123 import Zero123Guidance
+            from morpheus_tpu.guidance.zero123 import (Zero123Guidance,
+                                                       Zero123Spec)
+            zcfg = config["guidance"].get("zero123_config", "")
+            spec = (Zero123Spec.from_ldm_config(zcfg)
+                    if zcfg and os.path.exists(zcfg) else Zero123Spec())
             guidance = Zero123Guidance.from_checkpoint(
-                ckpt, t_range=tuple(config["guidance"]["t_range"]))
+                ckpt, t_range=tuple(config["guidance"]["t_range"]), spec=spec)
             log(f"Loaded Zero123 guidance from {ckpt}")
         else:
             log(f"[warn] zero123 ckpt not found at {ckpt}; "
                 "training recon-only (no SDS)")
 
-    trainer = Trainer(config, dataset, guidance=guidance, workspace=workspace)
+    trainer = Trainer(config, dataset, guidance=guidance,
+                      guidance_spec=(spec if guidance is not None else None),
+                      workspace=workspace)
 
     clip_encoder = None
     clip_ckpt = config["exp"].get("clip_ckpt", "")

@@ -114,13 +114,18 @@ DEFAULTS: dict[str, dict[str, Any]] = {
         "color_grid": True,
         "encode_topo": False,
         "bg_radius": 1.4,
-        "activation": "exp",
+        # NOTE: the reference's model.activation / guidance.vram_O keys are
+        # dead there too (density_activation assigned but unused,
+        # models/model.py:187; vram_O is a CUDA memory knob) — they are
+        # accepted if present in a YAML but have no defaults here.
     },
     "guidance": {
         "model": ["zero123"],
+        # optional OmegaConf model yaml; when set, Zero123Spec.from_ldm_config
+        # reads timesteps/linear_start/linear_end/arch dims from it (the
+        # reference reads the same fields, zero123_utils.py:68-81)
         "zero123_config": "",
         "zero123_ckpt": "",
-        "vram_O": False,
         "t_range": [0.02, 0.5],
         "zero123_guidance_scale": 5.0,
         "zero123_train": "cur_or_one",
@@ -135,16 +140,29 @@ DEFAULTS: dict[str, dict[str, Any]] = {
                                      # an inscribed-sphere exit point can sit
                                      # from AABB entry on a diagonal chord —
                                      # no ray's far segment goes untested)
-        "band_budget": 8,            # surface-band points/ray kept for the
-                                     # normal-smoothness ladder (0 = all P)
-        "sample_budget": 16,         # average samples/ray: global top-(N*this)
+        "band_budget": 0,            # surface-band points/ray kept for the
+                                     # normal-smoothness ladder (0 = all P);
+                                     # opt-in per scene config
+        "smooth_budget": 0,          # perturbed-normal smoothness sites/ray
+                                     # (random subset of compacted samples —
+                                     # unbiased estimate of the same mean);
+                                     # 0 = all samples; opt-in per config
+        "sample_budget": 0,          # average samples/ray: global top-(N*this)
                                      # sample compaction across the ray batch
-                                     # (0 = off); field evals then track
-                                     # occupied samples like the reference's
-                                     # ragged NeRFAcc stream
+                                     # (0 = off = exact dense rendering);
+                                     # field evals then track occupied samples
+                                     # like the reference's ragged NeRFAcc
+                                     # stream. Opt-in per scene config (all
+                                     # shipped configs set 16/8 — validated on
+                                     # the synthetic bench scene)
         "occ_resolution": 128,       # occupancy grid resolution (ref: morpheus.py:70)
         "occ_update_every": 16,      # EMA update cadence (nerfacc default n=16)
         "occ_warmup_steps": 256,     # full-grid updates during warmup
+        "occ_sample_fraction": 0.25, # post-warmup fraction of cells refreshed
+                                     # per update (strided rotation covers the
+                                     # grid every 1/fraction updates); the
+                                     # density eval at R^3*fraction points is
+                                     # the whole cost of the update
         "occ_ema_decay": 0.95,
         "occ_threshold": 0.01,
         "compute_dtype": "float32",  # 'bfloat16' enables the mixed policy

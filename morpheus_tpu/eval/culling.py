@@ -187,25 +187,37 @@ def cull_meshes(mesh_dir, save_dir, dataset, target):
                       depth_gt=depth_gt, eps=0.005)
 
 
-def _metric_one_main():
-    """Subprocess entry: compute Acc/Comp for one (rec, gt) mesh pair and
-    print them. Runs with JAX_PLATFORMS=cpu so worker processes never touch
-    the accelerator the trainer owns."""
+def _metric_many_main():
+    """Subprocess entry: compute Acc/Comp for a list of (rec, gt) mesh pairs
+    (argv: rec0 gt0 rec1 gt1 ...) and print one tagged 'METRIC i acc comp'
+    line per pair. One interpreter + one JAX import serves many frames (the
+    round-1 version forked per frame — wasteful at 1000-frame scenes). Runs
+    with JAX_PLATFORMS=cpu so workers never touch the trainer's accelerator.
+    Per-pair failures print 'FAILED i' and do not kill the worker."""
     import sys
-    r = calc_3d_metric(sys.argv[1], sys.argv[2])
-    print(f"{r['acc']} {r['comp']}")
+    args = sys.argv[1:]
+    for j in range(0, len(args), 2):
+        i = j // 2
+        try:
+            r = calc_3d_metric(args[j], args[j + 1])
+            print(f"METRIC {i} {r['acc']} {r['comp']}", flush=True)
+        except Exception as e:  # noqa: BLE001 — worker must survive bad frames
+            print(f"FAILED {i} {e!r}", flush=True)
 
 
 def eval_mesh_3d(rec_files, gt_files, save_file, epoch, workers=None):
     """Per-frame metrics, parallel across CPU subprocesses (the ICP +
     50k-sample KDTree stage is minutes per frame; the reference hides the same
     cost in background threads, morpheus.py:1513-1516 — subprocesses actually
-    use the cores AND keep worker JAX on the CPU backend)."""
+    use the cores AND keep worker JAX on the CPU backend). Frames are chunked
+    round-robin over a fixed pool of interpreters; failed frames are dropped
+    from the average instead of discarding the whole epoch's metrics."""
     import subprocess
     import sys
     from concurrent.futures import ThreadPoolExecutor
 
-    workers = workers or min(10, os.cpu_count() or 1, len(rec_files))
+    n = len(rec_files)
+    workers = workers or min(10, os.cpu_count() or 1, n)
     root = os.path.dirname(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))))
     env = dict(os.environ, JAX_PLATFORMS="cpu",
@@ -213,21 +225,36 @@ def eval_mesh_3d(rec_files, gt_files, save_file, epoch, workers=None):
     for k in ("TPU_NAME", "PALLAS_AXON_POOL_IPS", "PALLAS_AXON_REMOTE_COMPILE"):
         env.pop(k, None)
 
-    def one(args):
-        rec, gt = args
+    chunks = [list(range(w, n, workers)) for w in range(workers)]
+
+    def run_chunk(idxs):
+        if not idxs:
+            return []
+        argv = []
+        for i in idxs:
+            argv += [rec_files[i], gt_files[i]]
         out = subprocess.run(
             [sys.executable, "-c",
-             "from morpheus_tpu.eval.culling import _metric_one_main; "
-             "_metric_one_main()", rec, gt],
-            env=env, capture_output=True, text=True, timeout=3600)
-        if out.returncode != 0:
-            raise RuntimeError(f"metric worker failed for {rec}: "
-                               + out.stderr[-500:])
-        a, c = out.stdout.split()[-2:]
-        return float(a), float(c)
+             "from morpheus_tpu.eval.culling import _metric_many_main; "
+             "_metric_many_main()"] + argv,
+            env=env, capture_output=True, text=True,
+            timeout=3600 * max(1, len(idxs)))
+        res = []
+        for line in out.stdout.splitlines():
+            parts = line.split()
+            if len(parts) == 4 and parts[0] == "METRIC":
+                res.append((float(parts[2]), float(parts[3])))
+            elif parts and parts[0] == "FAILED":
+                print(f"[eval_mesh_3d] frame failed: {line}")
+        if out.returncode != 0 and not res:
+            print(f"[eval_mesh_3d] worker died: {out.stderr[-500:]}")
+        return res
 
     with ThreadPoolExecutor(workers) as ex:
-        res = list(ex.map(one, zip(rec_files, gt_files)))
+        res = [r for chunk in ex.map(run_chunk, chunks) for r in chunk]
+    if not res:
+        print(f"[eval_mesh_3d] no frames succeeded for epoch {epoch}")
+        return None
     accs = [r[0] for r in res]
     comps = [r[1] for r in res]
     with open(save_file, "a") as f:

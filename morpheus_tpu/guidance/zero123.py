@@ -43,6 +43,31 @@ class Zero123Spec:
         return schedule.DiffusionSchedule(self.num_train_timesteps,
                                           self.linear_start, self.linear_end)
 
+    @staticmethod
+    def from_ldm_config(path: str) -> "Zero123Spec":
+        """Build the spec from the reference's OmegaConf model yaml
+        (guidance.zero123_config; the reference reads timesteps/linear_start/
+        linear_end from it, zero123_utils.py:68-81). Architecture fields fall
+        back to the Zero123 defaults when absent."""
+        import yaml
+        with open(path, "r") as f:
+            cfg = yaml.safe_load(f)
+        p = cfg["model"]["params"]
+        unet = p.get("unet_config", {}).get("params", {})
+        vae_dd = (p.get("first_stage_config", {}).get("params", {})
+                  .get("ddconfig", {}))
+        return Zero123Spec(
+            num_train_timesteps=int(p.get("timesteps", 1000)),
+            linear_start=float(p.get("linear_start", 0.00085)),
+            linear_end=float(p.get("linear_end", 0.012)),
+            scale_factor=float(p.get("scale_factor", 0.18215)),
+            image_size=int(vae_dd.get("resolution", 256)),
+            unet_channels=int(unet.get("model_channels", 320)),
+            unet_mult=tuple(unet.get("channel_mult", (1, 2, 4, 4))),
+            unet_heads=int(unet.get("num_heads", 8)),
+            context_dim=int(unet.get("context_dim", 768)),
+            vae_ch=int(vae_dd.get("ch", 128)))
+
     def unet_module(self):
         return unet.UNetModel(model_channels=self.unet_channels,
                               channel_mult=self.unet_mult,
@@ -249,7 +274,7 @@ def novel_view_sample(g: Zero123Guidance, key: jax.Array, image01: jnp.ndarray,
                       spec: Zero123Spec = Zero123Spec()) -> jnp.ndarray:
     """Full DDIM novel-view synthesis for verification (Zero123.__call__)."""
     c_crossattn = clip_image_embed(g, image01, spec)
-    c_concat = vae_encode_mode(g, image01)
+    c_concat = vae_encode_mode(g, image01, spec)
 
     a = np.deg2rad(azimuth)
     T = jnp.asarray([np.deg2rad(polar), np.sin(a), np.cos(a), radius],

@@ -86,14 +86,30 @@ def update_occupancy(state: OccupancyState, key: jax.Array, density_fn,
 def update_occupancy_sampled(state: OccupancyState, key: jax.Array, density_fn,
                              bound: float, step_size: float, *,
                              ema_decay: float = 0.95, threshold: float = 0.01,
-                             sample_fraction: float = 0.25) -> OccupancyState:
-    """Post-warmup update that only evaluates the sampled cells (cheaper)."""
+                             sample_fraction: float = 0.25,
+                             update_index=None) -> OccupancyState:
+    """Post-warmup update that only evaluates the sampled cells (cheaper).
+
+    When `update_index` (traced int: how many sampled updates have happened)
+    is given, cells are visited by a strided rotation — sel_i = (i + k·n)·P
+    mod R³ with P odd (coprime to the power-of-two cell count) — so EVERY
+    cell is refreshed once per ceil(1/fraction) updates, unlike independent
+    uniform draws whose coverage has a long tail. The density eval at
+    R³·fraction points dominates the cost of this update (measured v5e:
+    ~330 ms at 128³·¼ through the full warp+SDF stack), so `sample_fraction`
+    is the occ-vs-staleness knob (tpu.occ_sample_fraction)."""
     R = state.binaries.shape[0]
     n_cells = R ** 3
-    n_sample = int(n_cells * sample_fraction)
+    n_sample = max(1, int(n_cells * sample_fraction))
     k_jit, k_sel = jax.random.split(key)
 
-    sel = jax.random.randint(k_sel, (n_sample,), 0, n_cells)
+    if update_index is None:
+        sel = jax.random.randint(k_sel, (n_sample,), 0, n_cells)
+    else:
+        stride = jnp.uint32(2654435761 % n_cells) | jnp.uint32(1)
+        base = (jnp.uint32(update_index) * jnp.uint32(n_sample)
+                + jnp.arange(n_sample, dtype=jnp.uint32))
+        sel = ((base * stride) % jnp.uint32(n_cells)).astype(jnp.int32)
     centers = jnp.asarray(cell_centers(R, bound), jnp.float32)[sel]
     cell = 2.0 * bound / R
     jitter = (jax.random.uniform(k_jit, centers.shape) - 0.5) * cell

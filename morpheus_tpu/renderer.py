@@ -44,12 +44,19 @@ class RenderConfig:
     normal_smooth_2d: bool = False
     code_reg: bool = True
     outside_radius: float = 1.1
+    # perturbed-normal smoothness site budget (avg sites/ray): the 3-D
+    # smoothness terms are means over samples — evaluating them on a random
+    # subset of the compacted samples is an unbiased estimate of the same
+    # regularizer at a fraction of the (encode + normal-VJP + backward
+    # sort/scatter) cost, the dominant per-step cost after compaction.
+    # 0 = all samples (exact reference semantics).
+    smooth_budget: int = 0
     # surface-band point budget (avg points/ray): the band ladder spawns
     # P=trunc*100+1 points per ray but only those with |x| < outside_radius
     # contribute (morpheus.py:539-541 filters them out BEFORE evaluating;
     # background rays put the whole ladder at the camera, |x|≈2.5). Budgeting
     # to N*band_budget drops the filtered points pre-eval. 0 = no budget.
-    band_budget: int = 8
+    band_budget: int = 0
     # dormant reference options (all 0/False in shipped configs, but flipping
     # the knob must produce the loss — morpheus.py:716-760)
     normal_dir: bool = False          # perturb along ortho-normal dirs (:716-718)
@@ -64,7 +71,8 @@ class RenderConfig:
         return RenderConfig(
             bound=float(bound), step_size=config["render"]["step_size"],
             sample_budget=int(tpu.get("sample_budget", 0)),
-            band_budget=int(tpu.get("band_budget", 8)),
+            band_budget=int(tpu.get("band_budget", 0)),
+            smooth_budget=int(tpu.get("smooth_budget", 0)),
             march_steps=tpu["march_steps"], max_samples=tpu["max_samples_per_ray"],
             trunc=tr["trunc"], smoothness_std=tr["smoothness_std"],
             topo_none=tr["topo_none"], num_frames=num_frames,
@@ -177,38 +185,60 @@ def render_rays(params: dict, spec: field.FieldSpec, occ_state, key,
             # (morpheus.py:714-741, topo_none branch). normal_dir perturbs
             # along random directions orthogonal to the normals (:716-718)
             # instead of isotropic gaussians.
+            #
+            # smooth_budget subsamples the evaluation sites uniformly among
+            # the valid compacted samples (unbiased estimate of the same
+            # mean); all perturb terms below share the subset.
+            Bs = rcfg.smooth_budget * N
+            if rcfg.smooth_budget and Bs < B:
+                k_sel = jax.random.fold_in(k_perturb, 7)
+                s_score = jnp.where(valid, jax.random.uniform(k_sel, (B,)),
+                                    -1.0)
+                _, s_sel = jax.lax.top_k(s_score, Bs)
+                x_s = jnp.take(x_flat, s_sel, axis=0)
+                t_s = jnp.take(t_flat, s_sel, axis=0)
+                n_s = jnp.take(normals, s_sel, axis=0)
+                v_s = jnp.take(valid, s_sel, axis=0)
+                d_s = (jnp.take(deform, s_sel, axis=0)
+                       if deform is not None else None)
+            else:
+                x_s, t_s, n_s, v_s, d_s = x_flat, t_flat, normals, valid, \
+                    deform
             if rcfg.normal_dir:
-                xp = x_flat + _ortho_normal_dir(k_perturb, normals) \
+                xp = x_s + _ortho_normal_dir(k_perturb, n_s) \
                     * rcfg.smoothness_std
             else:
-                xp = x_flat + jax.random.normal(k_perturb, x_flat.shape) \
+                xp = x_s + jax.random.normal(k_perturb, x_s.shape) \
                     * rcfg.smoothness_std
             if rcfg.topo_none:
                 n_p, _ = field.normal(params, spec, xp, topo=None, cano=cano,
                                       max_level=max_level)
             else:
-                topo_p = field.get_topo(params, spec, xp, t_flat, max_level)
+                topo_p = field.get_topo(params, spec, xp, t_s, max_level)
                 n_p, _ = field.normal(params, spec, xp, topo=topo_p, cano=cano,
                                       max_level=max_level)
             out["loss_normal_perturb"] = losses.normal_perturb_loss(
-                normals, n_p, valid)
+                n_s, n_p, v_s)
 
             if rcfg.normal_smooth_3d_t:
                 # time-perturbed topo normals (morpheus.py:743-748)
                 k_t3 = jax.random.fold_in(k_perturb, 1)
-                t_jit = t_flat + jax.random.uniform(k_t3, t_flat.shape) \
+                t_jit = t_s + jax.random.uniform(k_t3, t_s.shape) \
                     / rcfg.num_frames
-                topo_t = field.get_topo(params, spec, x_flat, t_jit, max_level)
-                n_t, _ = field.normal(params, spec, x_flat, topo=topo_t,
+                topo_t = field.get_topo(params, spec, x_s, t_jit, max_level)
+                n_t, _ = field.normal(params, spec, x_s, topo=topo_t,
                                       cano=cano, max_level=max_level)
                 out["loss_normal_perturb_t"] = losses.normal_perturb_loss(
-                    normals, n_t, valid)
+                    n_s, n_t, v_s)
 
-            if rcfg.deform_smooth and not cano and deform is not None:
+            if rcfg.deform_smooth and not cano and d_s is not None:
                 # deform smoothness at the perturbed points (morpheus.py:750-754)
-                deform_p, _ = field.warp(params, spec, xp, t_flat, max_level)
-                out["loss_deform_perturb"] = masked_mean(
-                    jnp.abs(deform - deform_p))
+                deform_p, _ = field.warp(params, spec, xp, t_s, max_level)
+                m_s = jnp.broadcast_to(v_s[:, None], d_s.shape)
+                dd = jnp.abs(d_s - deform_p)
+                out["loss_deform_perturb"] = (
+                    jnp.sum(jnp.where(m_s, dd, 0.0))
+                    / (jnp.sum(m_s) + 1e-8))
 
         if normal_raw is not None:
             out["normal_raw_eik"] = losses.eikonal_loss(normal_raw, valid)

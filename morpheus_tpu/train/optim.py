@@ -102,10 +102,10 @@ def adan_update(state: AdanState, grads, params, lr, freeze_deform=0.0,
     """Adan (Nesterov-momentum) optimizer, matching the vendored reference
     (models/optimizer.py:23-257): global grad-norm clip, three EMAs,
     decoupled weight decay as a (1 + lr*wd) divisor."""
-    # global grad clipping
-    gnorm = jnp.sqrt(sum(jnp.sum(g ** 2)
-                         for g in jax.tree.leaves(grads)) + 1e-16)
-    clip = jnp.minimum(1.0, max_grad_norm / gnorm)
+    # global grad clipping — clamp(max_norm / (||g|| + eps), max=1)
+    # (models/optimizer.py:120-127)
+    gnorm = jnp.sqrt(sum(jnp.sum(g ** 2) for g in jax.tree.leaves(grads)))
+    clip = jnp.minimum(1.0, max_grad_norm / (gnorm + eps))
     grads = jax.tree.map(lambda g: g * clip, grads)
 
     step = state.step + 1

@@ -131,12 +131,16 @@ class Trainer:
             # chunk large grids (warmup evaluates all R^3 cells): one call at
             # 128^3 builds a 268M-row gather whose boundary tensors can't be
             # fused/tiled sanely (bf16 OOMs at compile); lax.map bounds the
-            # live set per chunk
+            # live set per chunk. Non-divisible sizes are padded up so e.g. a
+            # 100^3 grid still chunks instead of falling back to one huge call
             M, chunk = x.shape[0], 32768
-            if M <= chunk or M % chunk:
+            if M <= chunk:
                 return one(x)
-            out = jax.lax.map(one, x.reshape(M // chunk, chunk, 3))
-            return out.reshape(-1)
+            pad = (-M) % chunk
+            if pad:
+                x = jnp.concatenate([x, jnp.zeros((pad, 3), x.dtype)], 0)
+            out = jax.lax.map(one, x.reshape(-1, chunk, 3))
+            return out.reshape(-1)[:M]
         return fn
 
     def _maybe_update_occ(self, occ, params, key, step, t_scalar, spec=None):
@@ -153,11 +157,14 @@ class Trainer:
                     threshold=tpu["occ_threshold"])
 
             def sampled(occ):
+                upd_idx = step // tpu["occ_update_every"]
                 return occupancy.update_occupancy_sampled(
                     occ, key, dens, self.bound,
                     self.config["render"]["step_size"],
                     ema_decay=tpu["occ_ema_decay"],
-                    threshold=tpu["occ_threshold"])
+                    threshold=tpu["occ_threshold"],
+                    sample_fraction=tpu.get("occ_sample_fraction", 0.25),
+                    update_index=upd_idx)
 
             return jax.lax.cond(step < tpu["occ_warmup_steps"], warm, sampled,
                                 occ)

@@ -92,6 +92,43 @@ def test_adam_group_multiplier_and_freeze():
     np.testing.assert_allclose(d_pose / d_sdf, 0.1, rtol=1e-3)
 
 
+def test_adan_matches_reference_torch():
+    """Bitwise-ish parity with the vendored Adan (models/optimizer.py:23-257),
+    covering the global-clip (large grads vs max_grad_norm=5) and decoupled-wd
+    (prox divisor) paths."""
+    import importlib.util
+    import torch
+
+    spec_ = importlib.util.spec_from_file_location(
+        "ref_optimizer", "/root/reference/models/optimizer.py")
+    ref_opt = importlib.util.module_from_spec(spec_)
+    spec_.loader.exec_module(ref_opt)
+
+    rng = np.random.default_rng(1)
+    w0 = rng.normal(size=(6, 4)).astype(np.float32)
+    steps = 9
+    # mix small grads and one huge grad so the global clip actually binds
+    grads_seq = [rng.normal(size=(6, 4)).astype(np.float32)
+                 * (50.0 if i == 3 else 1.0) for i in range(steps)]
+    lr = 2.5e-3
+
+    wt = torch.nn.Parameter(torch.tensor(w0.copy()))
+    opt = ref_opt.Adan([wt], lr=lr, eps=1e-8, weight_decay=2e-5,
+                       max_grad_norm=5.0, foreach=False)
+    for g in grads_seq:
+        opt.zero_grad()
+        wt.grad = torch.tensor(g)
+        opt.step()
+
+    params = {"sdf_net": jnp.asarray(w0)}
+    st = optim.adan_init(params)
+    for g in grads_seq:
+        st, params = optim.adan_update(st, {"sdf_net": jnp.asarray(g)}, params,
+                                       lr, 0.0)
+    np.testing.assert_allclose(np.asarray(params["sdf_net"]),
+                               wt.detach().numpy(), rtol=1e-4, atol=1e-6)
+
+
 def test_adan_runs_and_descends():
     def loss_fn(p):
         return jnp.sum((p["sdf_net"] - 3.0) ** 2)
