@@ -56,7 +56,20 @@ def main(argv=None):
     guidance = None
     if config["guidance"]["model"] and config["guidance"].get("zero123_ckpt"):
         ckpt = config["guidance"]["zero123_ckpt"]
-        if os.path.exists(ckpt):
+        if ckpt == "<random>":
+            # full-size random-weight Zero123: exercises the complete SDS
+            # path (render → VAE → UNet CFG → grad) at real compute cost when
+            # no checkpoint ships in the environment; guidance is then
+            # structural, not semantic
+            import jax
+            from morpheus_tpu.guidance.zero123 import (Zero123Guidance,
+                                                       Zero123Spec)
+            spec = Zero123Spec()
+            guidance = Zero123Guidance.init_random(jax.random.PRNGKey(0),
+                                                   spec)
+            log("Initialized full-size RANDOM-weight Zero123 guidance "
+                "(zero123_ckpt: <random>)")
+        elif os.path.exists(ckpt):
             from morpheus_tpu.guidance.zero123 import (Zero123Guidance,
                                                        Zero123Spec)
             zcfg = config["guidance"].get("zero123_config", "")

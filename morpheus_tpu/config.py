@@ -166,6 +166,9 @@ DEFAULTS: dict[str, dict[str, Any]] = {
         "occ_ema_decay": 0.95,
         "occ_threshold": 0.01,
         "compute_dtype": "float32",  # 'bfloat16' enables the mixed policy
+        "grad_payload": "float32",   # 'bfloat16' sorts hash-grid cotangents
+                                     # as 16-bit payloads (reference AMP fp16
+                                     # grads, grid.py:44-47); f32 accumulation
         "mesh_chunk": 2097152,       # dense SDF query chunk for mesh extraction
         "data_parallel": 1,          # ray-batch data parallelism over ICI
     },

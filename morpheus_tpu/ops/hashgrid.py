@@ -118,10 +118,18 @@ def take_sorted_pallas(emb: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([flat[c * N:(c + 1) * N] for c in range(C)], axis=-1)
 
 
-def take_sorted_pallas_rows(emb: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
+def take_sorted_pallas_rows(emb: jnp.ndarray, idx: jnp.ndarray,
+                            payload_dtype=None) -> jnp.ndarray:
     """Row-gather variant: forward is ONE (N, C)-row gather (149M rows/s on
     v5e vs 108M scalar-gathers/s for the flat stream); backward is the same
-    sorted Pallas segment-sum on per-channel slices of the cotangent."""
+    sorted Pallas segment-sum on per-channel slices of the cotangent.
+
+    payload_dtype=bfloat16 sorts the cotangent payloads as 16-bit values
+    (cheaper comparator network + half the payload bytes through the sort) —
+    the per-update values are rounded once to bf16, the windowed one-hot
+    matmul still accumulates in f32. This is the reference's AMP fp16
+    embedding-gradient semantics (grid.py:44-47 under autocast, where grads
+    are fp16 end-to-end); f32 master weights are kept either way."""
     from .segsum_pallas import segment_sum_sorted
 
     C = emb.shape[1]
@@ -130,10 +138,8 @@ def take_sorted_pallas_rows(emb: jnp.ndarray, idx: jnp.ndarray) -> jnp.ndarray:
     idx = idx.astype(jnp.int32)
 
     def _scatter_sorted(i, ct):
-        # bf16 cotangents sort as 16-bit payloads (cheaper bitonic network);
-        # the Pallas kernel accumulates in f32 either way, and the result is
-        # cast back to the table dtype (one rounding after accumulation)
-        cols = tuple(ct[:, c] for c in range(C))
+        cols = tuple(ct[:, c] if payload_dtype is None
+                     else ct[:, c].astype(payload_dtype) for c in range(C))
         ops = jax.lax.sort((i,) + cols, num_keys=1)
         return segment_sum_sorted(ops[0], ops[1:], T,
                                   interpret=interpret).T.astype(ct.dtype)
@@ -245,6 +251,10 @@ class HashGridSpec:
     #   'scatter': XLA native scatter-add on the combined index space
     #   'sort': linear_call sort+cumsum segment-sum (scatter-free)
     vjp_mode: str = "sort_pallas_rows"
+    # cotangent payload dtype through the backward sort ('float32' |
+    # 'bfloat16'); bf16 halves sort payload traffic (reference AMP fp16-grad
+    # precedent); accumulation stays f32 (tpu.grad_payload)
+    grad_payload: str = "float32"
 
     def __post_init__(self):
         if self.desired_resolution is not None:
@@ -395,7 +405,8 @@ def encode(inputs: jnp.ndarray, embeddings: jnp.ndarray, spec: HashGridSpec,
     elif spec.vjp_mode == "sort_pallas":
         feats = take_sorted_pallas(embeddings, idx)
     elif spec.vjp_mode == "sort_pallas_rows":
-        feats = take_sorted_pallas_rows(embeddings, idx)
+        pd = jnp.bfloat16 if spec.grad_payload == "bfloat16" else None
+        feats = take_sorted_pallas_rows(embeddings, idx, payload_dtype=pd)
     else:
         feats = jnp.take(embeddings, idx, axis=0)
     feats = feats.reshape(L, n_corners, P, spec.level_dim)

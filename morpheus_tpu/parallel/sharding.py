@@ -107,22 +107,30 @@ def make_sharded_virtual_step(trainer: Trainer, mesh: Mesh,
 
             def loss_fn(p):
                 total = 0.0
+                diag0 = {}
                 for i in range(v_loc):
                     b = jax.tree.map(lambda x: x[i], batch_shard)
-                    li, _ = trainer.virtual_loss_from_batch(
+                    li, out = trainer.virtual_loss_from_batch(
                         p, occ, jax.random.fold_in(kd, i), epoch, max_level,
                         b, H, W, guidance=g, embeddings=emb)
                     total += li
-                return total / v_loc
+                    if i == 0:
+                        diag0 = out.get("sds_diag", {})
+                return total / v_loc, diag0
 
-            loss, grads = jax.value_and_grad(loss_fn)(params)
+            (loss, diag), grads = jax.value_and_grad(loss_fn,
+                                                     has_aux=True)(params)
             return (jax.lax.pmean(loss, axis),
-                    jax.tree.map(lambda g_: jax.lax.pmean(g_, axis), grads))
+                    jax.tree.map(lambda g_: jax.lax.pmean(g_, axis), grads),
+                    jax.lax.stop_gradient(diag))
 
-        loss, grads = jax.shard_map(
+        # diag (save_guidance panels, zero123_utils.py:215-231) comes back
+        # concatenated along the view axis — one local view per device; the
+        # host keeps device 0's panel
+        loss, grads, diag = jax.shard_map(
             local_grads, mesh=mesh,
             in_specs=(P(), P(), P(), P(), P(axis), P()),
-            out_specs=(P(), P()), check_vma=False)(
+            out_specs=(P(), P(), P(axis)), check_vma=False)(
                 state.params, state.occ, guidance, embeddings, batch, key)
         grads = jax.tree.map(lambda a: a / vf, grads)
 
@@ -145,9 +153,9 @@ def make_sharded_virtual_step(trainer: Trainer, mesh: Mesh,
                                                   carry, None)
         new_state = TrainState(params, opt_state, state.ema, state.occ,
                                state.global_step + 1, pending)
-        return new_state, loss
+        return new_state, loss, diag
 
-    return jax.jit(step, out_shardings=(replicated, replicated)), sampler
+    return jax.jit(step, out_shardings=(replicated, replicated, None)), sampler
 
 
 def sample_virtual_batch(sampler, key, n_views: int) -> dict:

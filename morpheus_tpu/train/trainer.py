@@ -63,7 +63,8 @@ class Trainer:
             level_dim=config["model"].get("grid_level_dim", 2),
             base_resolution=config["model"].get("grid_base_resolution", 16),
             log2_hashmap_size=config["model"].get("grid_log2_hashmap_size", 15),
-            desired_resolution=config["model"].get("grid_desired_resolution", 128))
+            desired_resolution=config["model"].get("grid_desired_resolution", 128),
+            grad_payload=config["tpu"].get("grad_payload", "float32"))
         self.spec = field.FieldSpec(
             grid=grid,
             num_frames=dataset.num_frames, bound=self.bound,
@@ -632,8 +633,16 @@ class Trainer:
                     self.key, kb = jax.random.split(self.key)
                     vb = sharding.sample_virtual_batch(vsampler, kb, self.dp)
                     vb = sharding.shard_batch(vb, self.mesh)
-                    self.state, loss = vstep(self.state, self.guidance,
-                                             self._embeddings, vb, k, epoch)
+                    self.state, loss, diag = vstep(self.state, self.guidance,
+                                                   self._embeddings, vb, k,
+                                                   epoch)
+                    exp = self.config["exp"]
+                    if (exp["save_guidance"] and diag
+                            and host_step % exp["save_guide_intervel"] == 0
+                            and self.workspace):
+                        # device 0's view only (diag is view-concatenated)
+                        d0 = jax.tree.map(lambda x: x[:1], diag)
+                        self._save_guidance_panels(d0, host_step)
                 else:
                     batch, bg = sharding.host_sample_real_batch(
                         self._np_rng, self.data, nf, tr["real_ray_num"])

@@ -151,6 +151,72 @@ def test_clip_eval_similarity_sanity():
     assert s_ab < s_aa
 
 
+@pytest.mark.slow
+def test_clip_checkpoint_loader_matches_transformers(tmp_path):
+    """Exercise the full exp.clip_ckpt path at the REAL ViT-B/32 layout
+    (VERDICT r1 #6): export a transformers model to the OpenAI 'visual.*'
+    layout, load it via ImageEncoder.from_clip_checkpoint, and check the
+    embeddings match transformers' image_embeds numerically."""
+    torch = pytest.importorskip("torch")
+    from transformers import CLIPVisionConfig, CLIPVisionModelWithProjection
+
+    ckpt = str(tmp_path / "clip_b32.pt")
+    clip_eval.ImageEncoder.export_checkpoint_from_transformers(
+        ckpt, pretrained=None)   # random weights: no network in CI
+    enc = clip_eval.ImageEncoder.from_clip_checkpoint(ckpt)
+
+    # rebuild the SAME weights in transformers to get the reference output
+    sd_openai = torch.load(ckpt, weights_only=False)
+    cfg = CLIPVisionConfig(hidden_size=768, intermediate_size=3072,
+                           num_hidden_layers=12, num_attention_heads=12,
+                           image_size=224, patch_size=32,
+                           hidden_act="quick_gelu", projection_dim=512)
+    tm = CLIPVisionModelWithProjection(cfg).eval()
+    # inverse of hf_visual_to_openai: 1:1 except the qkv fuse / proj transpose
+    hf_sd = {}
+    V = "vision_model."
+    hf_sd[f"{V}embeddings.patch_embedding.weight"] = sd_openai["visual.conv1.weight"]
+    hf_sd[f"{V}embeddings.class_embedding"] = sd_openai["visual.class_embedding"]
+    hf_sd[f"{V}embeddings.position_embedding.weight"] = \
+        sd_openai["visual.positional_embedding"]
+    hf_sd[f"{V}pre_layrnorm.weight"] = sd_openai["visual.ln_pre.weight"]
+    hf_sd[f"{V}pre_layrnorm.bias"] = sd_openai["visual.ln_pre.bias"]
+    hf_sd[f"{V}post_layernorm.weight"] = sd_openai["visual.ln_post.weight"]
+    hf_sd[f"{V}post_layernorm.bias"] = sd_openai["visual.ln_post.bias"]
+    hf_sd["visual_projection.weight"] = np.ascontiguousarray(
+        np.asarray(sd_openai["visual.proj"]).T)
+    for i in range(12):
+        b, o = f"{V}encoder.layers.{i}", f"visual.transformer.resblocks.{i}"
+        w = np.asarray(sd_openai[f"{o}.attn.in_proj_weight"])
+        bb = np.asarray(sd_openai[f"{o}.attn.in_proj_bias"])
+        C = w.shape[1]
+        hf_sd[f"{b}.self_attn.q_proj.weight"] = w[:C]
+        hf_sd[f"{b}.self_attn.k_proj.weight"] = w[C:2 * C]
+        hf_sd[f"{b}.self_attn.v_proj.weight"] = w[2 * C:]
+        hf_sd[f"{b}.self_attn.q_proj.bias"] = bb[:C]
+        hf_sd[f"{b}.self_attn.k_proj.bias"] = bb[C:2 * C]
+        hf_sd[f"{b}.self_attn.v_proj.bias"] = bb[2 * C:]
+        hf_sd[f"{b}.self_attn.out_proj.weight"] = sd_openai[f"{o}.attn.out_proj.weight"]
+        hf_sd[f"{b}.self_attn.out_proj.bias"] = sd_openai[f"{o}.attn.out_proj.bias"]
+        for hk, ok in (("layer_norm1", "ln_1"), ("layer_norm2", "ln_2"),
+                       ("mlp.fc1", "mlp.c_fc"), ("mlp.fc2", "mlp.c_proj")):
+            hf_sd[f"{b}.{hk}.weight"] = sd_openai[f"{o}.{ok}.weight"]
+            hf_sd[f"{b}.{hk}.bias"] = sd_openai[f"{o}.{ok}.bias"]
+    tm.load_state_dict({k: torch.tensor(np.asarray(v))
+                        for k, v in hf_sd.items()})
+
+    rng = np.random.default_rng(0)
+    img = rng.uniform(size=(1, 224, 224, 3)).astype(np.float32)
+    from morpheus_tpu.guidance import clip_vit
+    x = np.asarray(clip_vit.preprocess(img))          # normalized, NHWC
+    with torch.no_grad():
+        ref = tm(pixel_values=torch.tensor(
+            x.transpose(0, 3, 1, 2))).image_embeds.numpy()
+    ref = ref / np.linalg.norm(ref, axis=-1, keepdims=True)
+    got = np.asarray(enc.embed(img))
+    np.testing.assert_allclose(got, ref, rtol=2e-4, atol=2e-4)
+
+
 def test_backproject_mesh_lies_on_sphere():
     from morpheus_tpu.data.synthetic import make_synthetic_scene
     from morpheus_tpu.eval.backproj import backproject_mesh
