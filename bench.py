@@ -79,7 +79,8 @@ def main():
         "render": {"step_size": 0.01},
         "tpu": {"max_samples_per_ray": 64, "march_steps": 288,
                 "occ_resolution": 128, "occ_warmup_steps": 256,
-                "occ_update_every": 16, "occ_sample_fraction": 0.125,
+                "occ_update_every": 16, "occ_sample_fraction": 0.0625,
+                "grad_payload": "bfloat16",
                 "sample_budget": 16, "band_budget": 4, "smooth_budget": 4},
     })
     scene = make_synthetic_scene(num_frames=8, H=128, W=128)

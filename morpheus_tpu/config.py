@@ -169,6 +169,10 @@ DEFAULTS: dict[str, dict[str, Any]] = {
         "grad_payload": "float32",   # 'bfloat16' sorts hash-grid cotangents
                                      # as 16-bit payloads (reference AMP fp16
                                      # grads, grid.py:44-47); f32 accumulation
+        "vjp_mode": "sort_pallas_rows",  # hash-grid embedding-cotangent path
+                                     # (ops/hashgrid.HashGridSpec.vjp_mode);
+                                     # 'hist_rows' = sort-free one-hot-matmul
+                                     # histogram (ops/hist_pallas.py)
         "mesh_chunk": 2097152,       # dense SDF query chunk for mesh extraction
         "data_parallel": 1,          # ray-batch data parallelism over ICI
     },

@@ -384,11 +384,23 @@ SHADING_ALBEDO, SHADING_LAMBERTIAN, SHADING_TEXTURELESS, SHADING_NORMAL = 0, 1, 
 
 def forward(params: dict, spec: FieldSpec, x, t, light_d=None, ratio=1.0,
             shading_id=SHADING_ALBEDO, cano: bool = False,
-            compute_normals: bool = True, max_level=None):
-    """Returns (sdf, sigma, color, normal, deform, normal_raw).
+            compute_normals: bool = True, max_level=None,
+            extra_normal_x=None, extra_normal_topo=None):
+    """Returns (sdf, sigma, color, normal, deform, normal_raw[, normal_extra]).
 
     `shading_id` may be traced; `compute_normals` is static (False skips the
     normal VJP entirely, e.g. albedo-only eval renders).
+
+    extra_normal_x (E, 3) — additional CANONICAL-space sites whose analytic
+    normals are wanted (perturbed-smoothness / surface-band points): they ride
+    the SAME encode + value_and_grad closure as the render samples, so their
+    embedding cotangents merge into the one sorted segment-sum stream instead
+    of paying a separate gather + sort + scatter per regularizer
+    (morpheus.py:714-741, :530-556 evaluate them as separate forward passes —
+    on TPU the launch/sort overhead dominates, hence the merge).
+    extra_normal_topo: their topo features (zeros when None = topo_none).
+    When extra_normal_x is given, an (E, 3) `normal_extra` (unit) is appended
+    to the return tuple.
     """
     if cano:
         x_cano, deform, topo = x, None, None
@@ -396,20 +408,42 @@ def forward(params: dict, spec: FieldSpec, x, t, light_d=None, ratio=1.0,
         deform, topo = warp(params, spec, x, t)
         x_cano = x + deform
 
+    E = 0 if extra_normal_x is None else extra_normal_x.shape[0]
     if compute_normals and spec.normal_mode == "analytic":
         # ONE encode instance serves the sdf value, the color features AND the
         # normal: value_and_grad over a shared closure means the backward pass
         # accumulates all embedding cotangents into a single sorted
         # segment-sum stream, instead of one stream per hash-grid re-encode
         # (the gather itself would CSE, but the transposed scatters would not).
+        B = x_cano.shape[0]
+        if E:
+            x_all = jnp.concatenate([x_cano, extra_normal_x], 0)
+            if extra_normal_topo is None:
+                extra_normal_topo = jnp.zeros(
+                    (E, spec.in_dim_amb), x_cano.dtype)
+            topo_all = (jnp.concatenate([topo, extra_normal_topo], 0)
+                        if topo is not None else
+                        jnp.concatenate(
+                            [jnp.zeros((B, spec.in_dim_amb), x_cano.dtype),
+                             extra_normal_topo], 0))
+        else:
+            x_all, topo_all = x_cano, topo
+
         def _sdf_closure(xc):
             enc_sdf, enc_col = _grid_features(params, spec, xc, max_level)
-            sdf, geo_feat = _sdf_head(params, spec, xc, enc_sdf, topo,
+            sdf, geo_feat = _sdf_head(params, spec, xc, enc_sdf, topo_all,
                                       max_level)
             return jnp.sum(sdf), (sdf, geo_feat, enc_col)
 
         (_, (sdf, geo_feat, enc_col)), n_raw = jax.value_and_grad(
-            _sdf_closure, has_aux=True)(x_cano)
+            _sdf_closure, has_aux=True)(x_all)
+        n_extra = None
+        if E:
+            n_extra = jnp.nan_to_num(safe_normalize(n_raw[B:]))
+            sdf, geo_feat, n_raw = sdf[:B], geo_feat[:B], n_raw[:B]
+            if enc_col is not None:
+                enc_col = enc_col[:B]
+        x_cano = x_all[:B] if E else x_cano
         sigma = density.laplace_density(sdf, params["beta"])
         if enc_col is None:
             enc_col = encodings.freq_encode(x_cano, 6, max_level)
@@ -425,9 +459,16 @@ def forward(params: dict, spec: FieldSpec, x, t, light_d=None, ratio=1.0,
         sdf, sigma, alb = sigma_albedo(params, spec, x_cano, topo,
                                        max_level=max_level)
         if not compute_normals:
+            if extra_normal_x is not None:
+                return sdf, sigma, alb, None, deform, None, None
             return sdf, sigma, alb, None, deform, None
         n, n_raw = normal(params, spec, x_cano, topo=topo,
                           max_level=max_level)
+        if extra_normal_x is not None:
+            # fd / fallback mode: evaluate the extra sites separately
+            n_extra, _ = normal(params, spec, extra_normal_x,
+                                topo=extra_normal_topo, cano=True,
+                                max_level=max_level)
     lambertian = ratio + (1.0 - ratio) * jnp.clip(
         jnp.sum(n * light_d, -1), 0.0, None)
 
@@ -437,4 +478,6 @@ def forward(params: dict, spec: FieldSpec, x, t, light_d=None, ratio=1.0,
                       jnp.broadcast_to(lambertian[..., None], alb.shape),
             jnp.where(shading_id == SHADING_NORMAL, (n + 1.0) / 2.0,
                       alb * lambertian[..., None])))
+    if extra_normal_x is not None:
+        return sdf, sigma, color, n, deform, n_raw, n_extra
     return sdf, sigma, color, n, deform, n_raw

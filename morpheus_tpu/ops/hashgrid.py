@@ -153,6 +153,53 @@ def take_sorted_pallas_rows(emb: jnp.ndarray, idx: jnp.ndarray,
         idx, emb)
 
 
+def take_hist_rows(emb: jnp.ndarray, idx: jnp.ndarray,
+                   offsets: Sequence[int], n_levels: int,
+                   payload_dtype=None) -> jnp.ndarray:
+    """Row-gather whose embedding cotangent accumulates via the SORT-FREE
+    per-level one-hot-matmul histogram (ops/hist_pallas.py) instead of
+    lax.sort + windowed segment-sum.
+
+    Requires the level-major equal-block stream layout encode() builds:
+    idx (L*K*P,) with level l in rows [l*K*P, (l+1)*K*P) and values within
+    [offsets[l], offsets[l+1]). Local indices are bounded by the hashmap size
+    (<= 2^15), which is what makes the dense factored one-hot affordable.
+    linear_call nesting keeps arbitrary-order AD (transpose of the transpose
+    is the gather again — normals differentiate through this twice)."""
+    from .hist_pallas import level_histogram
+
+    C = emb.shape[1]
+    N = idx.shape[0]
+    L = n_levels
+    Np = N // L
+    sizes = [offsets[l + 1] - offsets[l] for l in range(L)]
+    t_pad = max(sizes)
+    offs = jnp.asarray(np.asarray(offsets[:L], np.int32).reshape(L, 1))
+    interpret = _pallas_interpret()
+    idx = idx.astype(jnp.int32)
+
+    def _hist(i, ct):
+        il = i.reshape(L, Np) - offs                     # local per level
+        vals = tuple(ct[:, c].reshape(L, Np) if payload_dtype is None
+                     else ct[:, c].reshape(L, Np).astype(payload_dtype)
+                     for c in range(C))
+        out = level_histogram(il, vals, t_pad, interpret=interpret)
+        chans = [jnp.concatenate([out[c, l, :sizes[l]] for l in range(L)])
+                 for c in range(C)]
+        acc = jnp.stack(chans, -1).astype(ct.dtype)      # (offsets[L], C)
+        if acc.shape[0] < emb.shape[0]:   # statically-truncated levels: zeros
+            acc = jnp.pad(acc, ((0, emb.shape[0] - acc.shape[0]), (0, 0)))
+        return acc                                       # (T, C)
+
+    def _gather(i, ct_emb):
+        return jnp.take(ct_emb, i, axis=0)
+
+    return _cd.linear_call(
+        lambda i, e: jnp.take(e, i, axis=0),
+        lambda i, ct: _cd.linear_call(_hist, _gather, i, ct),
+        idx, emb)
+
+
 def take_level_scatter(emb: jnp.ndarray, idx: jnp.ndarray,
                        offsets: Sequence[int]) -> jnp.ndarray:
     """Gather whose cotangent scatters PER LEVEL into each level's table slice.
@@ -246,7 +293,11 @@ class HashGridSpec:
     #       one-hot segment-sum backward (ops/segsum_pallas.py, 86 ms per
     #       16.8M updates vs 268 ms for 'level_scatter'); exact, any-order AD.
     #       Full real step: 884 ms vs 2191 ms with 'level_scatter'.
-    #   'sort_pallas': same backward, flat scalar-stream forward
+    #   'hist_rows': row-gather forward + SORT-FREE per-level one-hot-matmul
+    #       histogram backward (ops/hist_pallas.py): the 15-bit local index
+    #       factors as hi*128+lo, so the accumulate is a dense
+    #       (T_hi, BLK)x(BLK, 128*C) MXU matmul per block — no sort at all
+    #   'sort_pallas': same backward as sort_pallas_rows, flat stream forward
     #   'level_scatter': per-level scatters via lax.scan on flat streams
     #   'scatter': XLA native scatter-add on the combined index space
     #   'sort': linear_call sort+cumsum segment-sum (scatter-free)
@@ -407,6 +458,9 @@ def encode(inputs: jnp.ndarray, embeddings: jnp.ndarray, spec: HashGridSpec,
     elif spec.vjp_mode == "sort_pallas_rows":
         pd = jnp.bfloat16 if spec.grad_payload == "bfloat16" else None
         feats = take_sorted_pallas_rows(embeddings, idx, payload_dtype=pd)
+    elif spec.vjp_mode == "hist_rows":
+        pd = jnp.bfloat16 if spec.grad_payload == "bfloat16" else None
+        feats = take_hist_rows(embeddings, idx, offsets, L, payload_dtype=pd)
     else:
         feats = jnp.take(embeddings, idx, axis=0)
     feats = feats.reshape(L, n_corners, P, spec.level_dim)

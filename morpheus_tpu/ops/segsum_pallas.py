@@ -5,13 +5,24 @@ gather — the role of the reference's CUDA atomics, gridencoder.cu:253-353) is
 the measured per-step bottleneck: XLA scatter-add runs at ~58M rows/s on v5e
 regardless of sortedness. This kernel exploits a *sorted* update stream: a
 block of consecutive sorted indices spans only a few 128-slot windows, so each
-window's partial histogram is one VPU compare (one-hot) + one small matmul and
-one aligned 128-wide accumulate — no random access at all. The sort itself is
-a fused multi-operand lax.sort (~73 ms for 16.8M keys + 2 payloads on v5e).
+window-span's partial histogram is one VPU compare (one-hot) + one small
+matmul and one aligned accumulate — no random access at all. The sort itself
+is a fused multi-operand lax.sort (bf16 payloads under tpu.grad_payload).
+
+Two precision paths:
+  - bf16 payloads: one-hot built in bf16, ONE single-pass MXU matmul with f32
+    accumulation — products are exact (0/1 × bf16), so the result equals a
+    scatter-add of the bf16 values accumulated in f32.
+  - f32 payloads: f32 one-hot with precision=HIGHEST (true-f32 passes) —
+    matches a scatter-add bit-for-bit up to f32-summation order.
+
+Windows are processed SPAN at a time (one (C, BLK) @ (BLK, SPAN*128) matmul
+per iteration) so typical blocks — which span 1-2 windows — finish in a
+single loop iteration instead of per-window skinny matmuls.
 
 segment_sum_sorted(sorted_idx (N,), vals: C arrays (N,), size) -> (C, size)
-float32, exact (f32 one-hot matmul). Channel-flat layout throughout so nothing
-hits the narrow-lane (N, 2) tile-padding trap.
+float32. Channel-flat layout throughout so nothing hits the narrow-lane
+(N, 2) tile-padding trap.
 """
 from __future__ import annotations
 
@@ -24,6 +35,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 BLK = 2048
 WIN = 128
+SPAN = 2          # windows per matmul (SPAN*WIN lanes)
 
 
 def _round_up(x: int, m: int) -> int:
@@ -39,29 +51,31 @@ def _kernel(idx_ref, *refs, n_chan: int, t_pad: int):
         out_ref[...] = jnp.zeros_like(out_ref)
 
     idx = idx_ref[:]                                  # (BLK,) int32, sorted
-    vals = jnp.stack([r[:] for r in val_refs], 0)     # (C, BLK) f32
-    w0 = idx_ref[0] // WIN
-    w1 = idx_ref[BLK - 1] // WIN
-    lanes = jax.lax.broadcasted_iota(jnp.int32, (BLK, WIN), 1)
+    vals = jnp.stack([r[:] for r in val_refs], 0)     # (C, BLK)
+    hp = jnp.bfloat16 if vals.dtype == jnp.bfloat16 else jnp.float32
+    prec = (None if hp == jnp.bfloat16 else jax.lax.Precision.HIGHEST)
+    s0 = idx_ref[0] // (SPAN * WIN)
+    s1 = idx_ref[BLK - 1] // (SPAN * WIN)
+    lanes = jax.lax.broadcasted_iota(jnp.int32, (BLK, SPAN * WIN), 1)
     col = idx.reshape(BLK, 1)
+    rows_per_chan = t_pad // WIN
 
-    def body(w, _):
-        base = w * WIN
-        onehot = (col - base == lanes).astype(jnp.float32)         # (BLK, WIN)
-        # (C, BLK) @ (BLK, WIN) -> (C, WIN) partial histogram. HIGHEST forces
-        # true-f32 MXU passes: with a 0/1 one-hot operand the products are
-        # exact, so the result matches a scatter-add bit-for-bit up to
-        # f32-summation order
+    def body(s, _):
+        base = s * (SPAN * WIN)
+        onehot = (col - base == lanes).astype(hp)     # (BLK, SPAN*WIN)
+        # 0/1 one-hot operand -> every product is exact; f32 accumulation
         contrib = jax.lax.dot_general(
             vals, onehot, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)
+            precision=prec)                            # (C, SPAN*WIN) f32
         for c in range(n_chan):
-            row = (c * t_pad) // WIN + w
-            out_ref[row, :] += contrib[c, :]
+            row0 = c * rows_per_chan + s * SPAN
+            for w in range(SPAN):     # static unroll: Mosaic dislikes the
+                # (SPAN*WIN,) -> (SPAN, WIN) vector reshape
+                out_ref[row0 + w, :] += contrib[c, w * WIN:(w + 1) * WIN]
         return 0
 
-    jax.lax.fori_loop(w0, w1 + 1, body, 0)
+    jax.lax.fori_loop(s0, s1 + 1, body, 0)
 
 
 @functools.partial(jax.jit, static_argnames=("size", "interpret"))
@@ -71,12 +85,14 @@ def segment_sum_sorted(sorted_idx: jnp.ndarray, sorted_vals: tuple,
     nondecreasing (pair it with lax.sort((idx, *vals), num_keys=1))."""
     N = sorted_idx.shape[0]
     n_chan = len(sorted_vals)
-    t_pad = _round_up(max(size, WIN), WIN)
+    t_pad = _round_up(max(size, SPAN * WIN), SPAN * WIN)
 
     n_pad = _round_up(N, BLK)
     pad = n_pad - N
     idx = sorted_idx.astype(jnp.int32)
-    cols = [v.astype(jnp.float32) for v in sorted_vals]
+    bf = all(v.dtype == jnp.bfloat16 for v in sorted_vals)
+    vdt = jnp.bfloat16 if bf else jnp.float32
+    cols = [v.astype(vdt) for v in sorted_vals]
     if pad:
         # padding slots point at the last (valid) slot with zero values, so
         # they keep the stream sorted and add nothing

@@ -140,10 +140,40 @@ def render_rays(params: dict, spec: field.FieldSpec, occ_state, key,
     light_flat = jnp.take(light_d, ray_id, axis=0)               # (B, 3)
     dirs_unit = safe_normalize(rays_d)
 
-    sdf, sigmas, rgbs, normals, deform, normal_raw = field.forward(
-        params, spec, x_flat, t_flat, light_d=light_flat, ratio=ambient_ratio,
-        shading_id=shading_id, cano=cano, compute_normals=rcfg.compute_normals,
-        max_level=max_level)
+    # Perturbed-smoothness sites are known BEFORE the field evaluation
+    # (default isotropic perturbation + topo_none), so they ride the main
+    # forward's single encode/value_and_grad closure — one merged backward
+    # sort/segment-sum stream instead of a separate normal pass
+    # (field.forward extra_normal_x). normal_dir / topo'd variants need the
+    # main normals first and keep the separate pass below.
+    merge_smooth = (train and rcfg.compute_normals and rcfg.normal_smooth_3d
+                    and not rcfg.normal_dir and rcfg.topo_none
+                    and spec.normal_mode == "analytic")
+    s_sel = None
+    n_p = None
+    if merge_smooth:
+        Bs = rcfg.smooth_budget * N
+        if rcfg.smooth_budget and Bs < B:
+            k_sel = jax.random.fold_in(k_perturb, 7)
+            s_score = jnp.where(valid, jax.random.uniform(k_sel, (B,)), -1.0)
+            # random-score selection = uniform subset of valid samples;
+            # approx_max_k (exact on CPU) since the subset is random anyway
+            _, s_sel = jax.lax.approx_max_k(s_score, Bs, recall_target=0.95)
+            x_s = jnp.take(x_flat, s_sel, axis=0)
+        else:
+            x_s = x_flat
+        xp = x_s + jax.random.normal(k_perturb, x_s.shape) \
+            * rcfg.smoothness_std
+        res = field.forward(
+            params, spec, x_flat, t_flat, light_d=light_flat,
+            ratio=ambient_ratio, shading_id=shading_id, cano=cano,
+            compute_normals=True, max_level=max_level, extra_normal_x=xp)
+        sdf, sigmas, rgbs, normals, deform, normal_raw, n_p = res
+    else:
+        sdf, sigmas, rgbs, normals, deform, normal_raw = field.forward(
+            params, spec, x_flat, t_flat, light_d=light_flat,
+            ratio=ambient_ratio, shading_id=shading_id, cano=cano,
+            compute_normals=rcfg.compute_normals, max_level=max_level)
 
     weights, trans, alphas = volrender.flat_render_weights(
         cs["t_starts"], cs["t_ends"], sigmas, valid, ray_id)
@@ -190,33 +220,49 @@ def render_rays(params: dict, spec: field.FieldSpec, occ_state, key,
             # the valid compacted samples (unbiased estimate of the same
             # mean); all perturb terms below share the subset.
             Bs = rcfg.smooth_budget * N
-            if rcfg.smooth_budget and Bs < B:
-                k_sel = jax.random.fold_in(k_perturb, 7)
-                s_score = jnp.where(valid, jax.random.uniform(k_sel, (B,)),
-                                    -1.0)
-                _, s_sel = jax.lax.top_k(s_score, Bs)
-                x_s = jnp.take(x_flat, s_sel, axis=0)
-                t_s = jnp.take(t_flat, s_sel, axis=0)
-                n_s = jnp.take(normals, s_sel, axis=0)
-                v_s = jnp.take(valid, s_sel, axis=0)
-                d_s = (jnp.take(deform, s_sel, axis=0)
-                       if deform is not None else None)
+            if merge_smooth:
+                # n_p already computed inside the main forward closure
+                if s_sel is not None:
+                    x_s = jnp.take(x_flat, s_sel, axis=0)
+                    t_s = jnp.take(t_flat, s_sel, axis=0)
+                    n_s = jnp.take(normals, s_sel, axis=0)
+                    v_s = jnp.take(valid, s_sel, axis=0)
+                    d_s = (jnp.take(deform, s_sel, axis=0)
+                           if deform is not None else None)
+                else:
+                    x_s, t_s, n_s, v_s, d_s = x_flat, t_flat, normals, \
+                        valid, deform
+                # xp (the perturbed sites) is still in scope from the
+                # pre-forward block for the dormant deform_smooth branch
             else:
-                x_s, t_s, n_s, v_s, d_s = x_flat, t_flat, normals, valid, \
-                    deform
-            if rcfg.normal_dir:
-                xp = x_s + _ortho_normal_dir(k_perturb, n_s) \
-                    * rcfg.smoothness_std
-            else:
-                xp = x_s + jax.random.normal(k_perturb, x_s.shape) \
-                    * rcfg.smoothness_std
-            if rcfg.topo_none:
-                n_p, _ = field.normal(params, spec, xp, topo=None, cano=cano,
-                                      max_level=max_level)
-            else:
-                topo_p = field.get_topo(params, spec, xp, t_s, max_level)
-                n_p, _ = field.normal(params, spec, xp, topo=topo_p, cano=cano,
-                                      max_level=max_level)
+                if rcfg.smooth_budget and Bs < B:
+                    k_sel = jax.random.fold_in(k_perturb, 7)
+                    s_score = jnp.where(valid,
+                                        jax.random.uniform(k_sel, (B,)), -1.0)
+                    _, s_sel = jax.lax.approx_max_k(s_score, Bs,
+                                                    recall_target=0.95)
+                    x_s = jnp.take(x_flat, s_sel, axis=0)
+                    t_s = jnp.take(t_flat, s_sel, axis=0)
+                    n_s = jnp.take(normals, s_sel, axis=0)
+                    v_s = jnp.take(valid, s_sel, axis=0)
+                    d_s = (jnp.take(deform, s_sel, axis=0)
+                           if deform is not None else None)
+                else:
+                    x_s, t_s, n_s, v_s, d_s = x_flat, t_flat, normals, \
+                        valid, deform
+                if rcfg.normal_dir:
+                    xp = x_s + _ortho_normal_dir(k_perturb, n_s) \
+                        * rcfg.smoothness_std
+                else:
+                    xp = x_s + jax.random.normal(k_perturb, x_s.shape) \
+                        * rcfg.smoothness_std
+                if rcfg.topo_none:
+                    n_p, _ = field.normal(params, spec, xp, topo=None,
+                                          cano=cano, max_level=max_level)
+                else:
+                    topo_p = field.get_topo(params, spec, xp, t_s, max_level)
+                    n_p, _ = field.normal(params, spec, xp, topo=topo_p,
+                                          cano=cano, max_level=max_level)
             out["loss_normal_perturb"] = losses.normal_perturb_loss(
                 n_s, n_p, v_s)
 
@@ -325,13 +371,18 @@ def _surface_band_normal_smoothness(params, spec, key, rays_o, rays_d, rays_t,
         B = rcfg.band_budget * N
         score = jnp.where(in_band,
                           jax.random.uniform(k3, in_band.shape), -1.0)
-        _, sel = jax.lax.top_k(score, B)
+        _, sel = jax.lax.approx_max_k(score, B, recall_target=0.95)
         pts = jnp.take(pts, sel, axis=0)
         ts = jnp.take(ts, sel, axis=0)
         in_band = jnp.take(in_band, sel, axis=0)
 
     n1, _ = field.normal(params, spec, pts, t=ts, max_level=max_level)
     w = _ortho_normal_dir(k2, n1)
+    # n2 shares n1's evaluation machinery but needs n1 first (the ortho
+    # direction), so the two encodes cannot be one batch; n1 however can be
+    # batched with nothing else — the win is merging the WARP: both sites use
+    # the same (pts, ts) warp, which CSEs. The dominant remaining cost is the
+    # two backward sort/segment-sum streams, fundamentally sequential here.
     n2, _ = field.normal(params, spec, pts + w * rcfg.smoothness_std, t=ts,
                          max_level=max_level)
     sq = jnp.sum((n1 - n2) ** 2, -1) / 3.0

@@ -64,7 +64,8 @@ class Trainer:
             base_resolution=config["model"].get("grid_base_resolution", 16),
             log2_hashmap_size=config["model"].get("grid_log2_hashmap_size", 15),
             desired_resolution=config["model"].get("grid_desired_resolution", 128),
-            grad_payload=config["tpu"].get("grad_payload", "float32"))
+            grad_payload=config["tpu"].get("grad_payload", "float32"),
+            vjp_mode=config["tpu"].get("vjp_mode", "sort_pallas_rows"))
         self.spec = field.FieldSpec(
             grid=grid,
             num_frames=dataset.num_frames, bound=self.bound,

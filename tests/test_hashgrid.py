@@ -132,7 +132,8 @@ def test_offsets_match_reference_formula():
         assert offs[i + 1] - offs[i] == n
 
 
-@pytest.mark.parametrize("mode", ["sort_pallas", "sort_pallas_rows", "sort"])
+@pytest.mark.parametrize("mode", ["sort_pallas", "sort_pallas_rows",
+                                  "hist_rows", "sort"])
 def test_vjp_modes_match_scatter(mode):
     """All embedding-cotangent paths must agree with plain XLA scatter on
     values, embedding grads, input grads, and grad-of-grad (normals
