@@ -163,6 +163,10 @@ DEFAULTS: dict[str, dict[str, Any]] = {
                                      # grid every 1/fraction updates); the
                                      # density eval at R^3*fraction points is
                                      # the whole cost of the update
+        "budget_uniform_mix": 0.0,   # opt-in: mix U(0,1)*this into the
+                                     # compaction score so a binding sample
+                                     # budget keeps ~uniform free-space
+                                     # coverage for fs_loss (ADVICE r1 #4)
         "occ_ema_decay": 0.95,
         "occ_threshold": 0.01,
         "compute_dtype": "float32",  # 'bfloat16' enables the mixed policy

@@ -154,7 +154,8 @@ def occs_lookup(occs: jnp.ndarray, resolution: int, x: jnp.ndarray,
 def march_rays(key: jax.Array, state: OccupancyState, rays_o: jnp.ndarray,
                rays_d: jnp.ndarray, bound: float, step_size: float,
                march_steps: int, max_samples: int, stratified: bool = True,
-               return_score: bool = False):
+               return_score: bool = False, score_uniform_mix: float = 0.0,
+               occ_threshold: float | None = None):
     """Fixed-shape occupancy-culled ray marching with importance compaction.
 
     Returns (t_starts (N, K), t_ends (N, K), mask (N, K)) — the dense analogue
@@ -186,11 +187,17 @@ def march_rays(key: jax.Array, state: OccupancyState, rays_o: jnp.ndarray,
 
     inside = tm < t_far[:, None]
     xs = rays_o[:, None, :] + rays_d[:, None, :] * tm[..., None]
-    occ = occupancy_lookup(state.binaries, xs, bound) & inside   # (N, M)
-
-    # approximate contribution of each candidate from the EMA grid
     R = state.binaries.shape[0]
-    o_val = occs_lookup(state.occs, R, xs, bound)                # (N, M)
+    if occ_threshold is None:
+        occ = occupancy_lookup(state.binaries, xs, bound) & inside  # (N, M)
+        o_val = occs_lookup(state.occs, R, xs, bound)               # (N, M)
+    else:
+        # single gather: binaries are exactly occs > min(mean, threshold)
+        # (update_occupancy:81-82), so the boolean mask is derived from the
+        # float lookup — halves the N*M random-access rows of the march
+        o_val = occs_lookup(state.occs, R, xs, bound)               # (N, M)
+        thresh = jnp.minimum(jnp.mean(state.occs), occ_threshold)
+        occ = (o_val > thresh) & inside
     tau = jnp.where(occ, jnp.clip(o_val, 0.0, 20.0), 0.0)
     tau_cum = jnp.concatenate([jnp.zeros_like(tau[:, :1]),
                                jnp.cumsum(tau, -1)[:, :-1]], -1)
@@ -199,6 +206,16 @@ def march_rays(key: jax.Array, state: OccupancyState, rays_o: jnp.ndarray,
     # with uninformative occs (fresh grid) keep their first K occupied samples
     front_bias = (M - steps) / M * 1e-6
     score = jnp.where(occ, w_approx + front_bias + 1e-8, -1.0)
+    if score_uniform_mix > 0.0:
+        # mix a uniform random term so that, when the downstream sample
+        # budget binds, the tail of the budget fills ~uniformly at random
+        # from occupied candidates instead of strictly by approximate weight
+        # — preserving free-space (pre-surface) coverage for fs_loss, whose
+        # support the reference's take-everything ragged stream keeps in full
+        # (ADVICE r1: weight-ranked dropping preferentially starves fs
+        # supervision). Off by default; opt in via tpu.budget_uniform_mix.
+        u = jax.random.uniform(jax.random.fold_in(key, 11), (N, M))
+        score = jnp.where(occ, score + score_uniform_mix * u, score)
 
     # approx_max_k: TPU's fused approximate top-k (recall ~0.95) — exact
     # lax.top_k costs 18 ms for this (N, M)->K selection on v5e vs ~1 ms

@@ -37,6 +37,14 @@ class RenderConfig:
     # shapes. 0 = off (B = N*K). Individual rays may still use up to
     # max_samples slots.
     sample_budget: int = 0
+    # uniform-random score mix for budget compaction (tpu.budget_uniform_mix,
+    # opt-in): fills the tail of a binding budget ~uniformly from occupied
+    # candidates instead of strictly by approximate weight, preserving
+    # free-space coverage for fs_loss (ADVICE r1 #4). 0 = pure weight rank.
+    budget_uniform_mix: float = 0.0
+    # binarization threshold of the occupancy EMA (tpu.occ_threshold); passed
+    # to the march so the boolean mask derives from the single float lookup
+    occ_threshold: float = 0.01
     # which extra terms to compute (static; mirrors config weights > 0)
     compute_normals: bool = True
     normal_smooth_3d: bool = True
@@ -51,12 +59,27 @@ class RenderConfig:
     # sort/scatter) cost, the dominant per-step cost after compaction.
     # 0 = all samples (exact reference semantics).
     smooth_budget: int = 0
+    # ride the perturbed-smoothness sites on the main forward's single
+    # encode/value_and_grad closure (one merged backward stream) instead of a
+    # separate sdf-only normal pass; which wins depends on the cotangent
+    # path (the separate pass is a cheaper C=2 stream, the merge avoids a
+    # second kernel dispatch chain) — measured per vjp_mode, see PARITY.md
+    merge_smooth: bool = True
     # surface-band point budget (avg points/ray): the band ladder spawns
     # P=trunc*100+1 points per ray but only those with |x| < outside_radius
     # contribute (morpheus.py:539-541 filters them out BEFORE evaluating;
     # background rays put the whole ladder at the camera, |x|≈2.5). Budgeting
     # to N*band_budget drops the filtered points pre-eval. 0 = no budget.
     band_budget: int = 0
+    # TPU redesign of the surface band (tpu.band_reuse): sample-budget
+    # compaction already concentrates the render samples at the surface, so
+    # the band's FIRST normal is taken from the in-band render samples'
+    # already-computed normals instead of re-evaluating a depth-centred
+    # ladder — one perturbed eval instead of two (the ladder re-walks
+    # near-identical points; measured ~half the 21 ms band block at the
+    # bench point). False = exact reference ladder semantics
+    # (morpheus.py:530-556, :778-785).
+    band_reuse: bool = True
     # dormant reference options (all 0/False in shipped configs, but flipping
     # the knob must produce the loss — morpheus.py:716-760)
     normal_dir: bool = False          # perturb along ortho-normal dirs (:716-718)
@@ -71,6 +94,10 @@ class RenderConfig:
         return RenderConfig(
             bound=float(bound), step_size=config["render"]["step_size"],
             sample_budget=int(tpu.get("sample_budget", 0)),
+            budget_uniform_mix=float(tpu.get("budget_uniform_mix", 0.0)),
+            occ_threshold=float(tpu.get("occ_threshold", 0.01)),
+            merge_smooth=bool(tpu.get("merge_smooth", True)),
+            band_reuse=bool(tpu.get("band_reuse", True)),
             band_budget=int(tpu.get("band_budget", 0)),
             smooth_budget=int(tpu.get("smooth_budget", 0)),
             march_steps=tpu["march_steps"], max_samples=tpu["max_samples_per_ray"],
@@ -110,7 +137,9 @@ def render_rays(params: dict, spec: field.FieldSpec, occ_state, key,
 
     t_starts, t_ends, mask, score = occupancy.march_rays(
         k_march, occ_state, rays_o, rays_d, rcfg.bound, rcfg.step_size,
-        rcfg.march_steps, rcfg.max_samples, stratified=True, return_score=True)
+        rcfg.march_steps, rcfg.max_samples, stratified=True, return_score=True,
+        score_uniform_mix=rcfg.budget_uniform_mix,
+        occ_threshold=rcfg.occ_threshold)
 
     # flatten the (N, K) masked grid into a ray-sorted (B,) stream; when a
     # sample budget is set, compaction drops padding so field-eval cost tracks
@@ -146,7 +175,8 @@ def render_rays(params: dict, spec: field.FieldSpec, occ_state, key,
     # sort/segment-sum stream instead of a separate normal pass
     # (field.forward extra_normal_x). normal_dir / topo'd variants need the
     # main normals first and keep the separate pass below.
-    merge_smooth = (train and rcfg.compute_normals and rcfg.normal_smooth_3d
+    merge_smooth = (rcfg.merge_smooth and train and rcfg.compute_normals
+                    and rcfg.normal_smooth_3d
                     and not rcfg.normal_dir and rcfg.topo_none
                     and spec.normal_mode == "analytic")
     s_sel = None
@@ -318,9 +348,14 @@ def render_rays(params: dict, spec: field.FieldSpec, occ_state, key,
         out["loss_code"] = losses.code_smoothness(code, code_prev, code_next)
 
     if rcfg.normal_smoothness:
-        out["normal_reg"] = _surface_band_normal_smoothness(
-            params, spec, k_smooth, rays_o, rays_d, rays_t, depth, rcfg,
-            max_level)
+        if rcfg.band_reuse and rcfg.band_budget and normals is not None:
+            out["normal_reg"] = _band_reuse_normal_smoothness(
+                params, spec, k_smooth, x_flat, t_flat, normals, valid,
+                t_mid, depth, ray_id, rcfg, max_level)
+        else:
+            out["normal_reg"] = _surface_band_normal_smoothness(
+                params, spec, k_smooth, rays_o, rays_d, rays_t, depth, rcfg,
+                max_level)
 
     if rays_depth is not None:
         fs_loss, sdf_loss = losses.sdf_losses_flat(
@@ -344,6 +379,42 @@ def _ortho_normal_dir(key, normals):
     v = jnp.cross(n, u)
     phi = jax.random.uniform(key, normals.shape[:-1] + (1,)) * 2.0 * jnp.pi
     return jnp.cos(phi) * u + jnp.sin(phi) * v
+
+
+def _band_reuse_normal_smoothness(params, spec, key, x_flat, t_flat, normals,
+                                  valid, t_mid, depth, ray_id,
+                                  rcfg: RenderConfig, max_level):
+    """TPU redesign of the surface-band L_smooth (morpheus.py:530-556,
+    :778-785): the reference re-evaluates a depth-centred P-point ladder twice
+    (n1, then n2 at an ortho-perturbed site). Under sample-budget compaction
+    the render samples already concentrate in exactly that band, with their
+    normals computed by the main closure — so n1 is REUSED from the in-band
+    render samples and only the perturbed n2 needs a field evaluation
+    (sdf-only C=2 stream; halves the band's gather/accumulate rows). Selection
+    is uniform among samples within trunc/2 of the rendered depth, inside the
+    |x| < outside_radius filter, budgeted to band_budget*N sites."""
+    k1, k2 = jax.random.split(key)
+    depth_r = jax.lax.stop_gradient(jnp.take(depth, ray_id))
+    in_band = valid & (jnp.abs(t_mid - depth_r) < 0.5 * rcfg.trunc) \
+        & (jnp.linalg.norm(x_flat, axis=-1) < rcfg.outside_radius)
+    N = depth.shape[0]
+    Bb = rcfg.band_budget * N
+    if Bb and Bb < in_band.shape[0]:
+        score = jnp.where(in_band, jax.random.uniform(k1, in_band.shape), -1.0)
+        _, sel = jax.lax.approx_max_k(score, Bb, recall_target=0.95)
+        x_b = jnp.take(x_flat, sel, axis=0)
+        t_b = jnp.take(t_flat, sel, axis=0)
+        n1 = jnp.take(normals, sel, axis=0)
+        m_b = jnp.take(in_band, sel, axis=0)
+    else:
+        x_b, t_b, n1, m_b = x_flat, t_flat, normals, in_band
+    w = _ortho_normal_dir(k2, n1)
+    n2, _ = field.normal(params, spec, x_b + w * rcfg.smoothness_std,
+                         t=t_b, max_level=max_level)
+    # both n1 and n2 carry gradients, like the reference ladder; n1's path
+    # shares the main closure's existing backward
+    sq = jnp.sum((n1 - n2) ** 2, -1) / 3.0
+    return jnp.sum(jnp.where(m_b, sq, 0.0)) / (jnp.sum(m_b) + 1e-8)
 
 
 def _surface_band_normal_smoothness(params, spec, key, rays_o, rays_d, rays_t,
