@@ -1,0 +1,107 @@
+#!/usr/bin/env python
+"""Ablation profiler for the jitted real-view train step at the bench.py
+operating point. Times a list of config variants (each toggles one knob or
+zeroes one loss weight) so the per-component cost split is measured on the
+real chip instead of guessed. Usage:
+
+    python scripts/profile_step.py              # full variant list
+    python scripts/profile_step.py base hist    # subset by name
+"""
+from __future__ import annotations
+
+import copy
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+import jax.numpy as jnp
+
+
+BASE = {
+    "data": {"data_dir": "<synthetic>"},
+    "exp": {"seed": 0, "save_guidance": False},
+    "train": {"real_ray_num": 2048, "real_freq": 1, "n_iters": 1},
+    "model": {"bg_radius": 0.0},
+    "render": {"step_size": 0.01},
+    "tpu": {"max_samples_per_ray": 64, "march_steps": 288,
+            "occ_resolution": 128, "occ_warmup_steps": 256,
+            "occ_update_every": 16, "occ_sample_fraction": 0.0625,
+            "grad_payload": "bfloat16",
+            "sample_budget": 16, "band_budget": 4, "smooth_budget": 4},
+}
+
+VARIANTS = [
+    ("base", {}),
+    ("hist", {"tpu": {"vjp_mode": "hist_rows"}}),
+    ("no_band", {"train": {"normal_smoothness": 0.0}}),
+    ("no_perturb", {"train": {"normal_smooth_3d": 0.0}}),
+    ("no_smooth", {"train": {"normal_smoothness": 0.0,
+                             "normal_smooth_3d": 0.0}}),
+    ("no_merge", {"tpu": {"merge_smooth": False}}),
+    ("bf16", {"tpu": {"compute_dtype": "bfloat16"}}),
+    ("no_code", {"train": {"code_reg": 0.0}}),
+    ("no_orient", {"train": {"ori_weight": 0.0}}),
+    ("render_only", {"train": {"normal_smoothness": 0.0,
+                               "normal_smooth_3d": 0.0, "ori_weight": 0.0,
+                               "code_reg": 0.0, "beta_weight": 0.0}}),
+]
+
+
+def deep_update(dst: dict, src: dict) -> dict:
+    for k, v in src.items():
+        if isinstance(v, dict):
+            dst[k] = deep_update(dict(dst.get(k, {})), v)
+        else:
+            dst[k] = v
+    return dst
+
+
+def time_variant(name: str, overrides: dict) -> float:
+    from morpheus_tpu.config import merge_defaults
+    from morpheus_tpu.data import dataset as data_lib
+    from morpheus_tpu.data.synthetic import make_synthetic_scene
+    from morpheus_tpu.train.trainer import Trainer
+
+    cfg = merge_defaults(deep_update(copy.deepcopy(BASE), overrides))
+    scene = make_synthetic_scene(num_frames=8, H=128, W=128)
+    ds = data_lib.DeformDataset(cfg, scene=scene)
+    trainer = Trainer(cfg, ds)
+    trainer.epoch = 300
+    epoch = jnp.asarray(300.0)
+    state = trainer.state._replace(global_step=jnp.asarray(33000, jnp.int32))
+    step_fn = trainer._make_real_step(trainer._active_levels())
+
+    key = jax.random.PRNGKey(0)
+    t_c = time.perf_counter()
+    for _ in range(6):
+        key, k = jax.random.split(key)
+        state, loss = step_fn(state, k, epoch)
+    float(loss)
+    compile_s = time.perf_counter() - t_c
+    t0 = time.perf_counter()
+    n = 24
+    for _ in range(n):
+        key, k = jax.random.split(key)
+        state, loss = step_fn(state, k, epoch)
+    float(loss)
+    dt = (time.perf_counter() - t0) / n
+    print(f"{name:14s} {dt * 1e3:7.1f} ms/step  {2048 / dt:9.0f} rays/s  "
+          f"(compile {compile_s:.0f}s, loss {float(loss):.3f})", flush=True)
+    return dt
+
+
+def main():
+    from morpheus_tpu.utils import setup_compilation_cache
+    setup_compilation_cache()
+    names = set(sys.argv[1:])
+    for name, ovr in VARIANTS:
+        if names and name not in names:
+            continue
+        time_variant(name, ovr)
+
+
+if __name__ == "__main__":
+    main()
