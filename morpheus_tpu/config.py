@@ -173,12 +173,20 @@ DEFAULTS: dict[str, dict[str, Any]] = {
         "grad_payload": "float32",   # 'bfloat16' sorts hash-grid cotangents
                                      # as 16-bit payloads (reference AMP fp16
                                      # grads, grid.py:44-47); f32 accumulation
-        "vjp_mode": "sort_pallas_rows",  # hash-grid embedding-cotangent path
-                                     # (ops/hashgrid.HashGridSpec.vjp_mode);
-                                     # 'hist_rows' = sort-free one-hot-matmul
-                                     # histogram (ops/hist_pallas.py)
+        "vjp_mode": "hist_rows",     # hash-grid embedding-cotangent path
+                                     # (ops/hashgrid.HashGridSpec.vjp_mode):
+                                     # sort-free one-hot-matmul histogram
+                                     # (ops/hist_pallas.py), measured 3.7 ms/
+                                     # step faster than 'sort_pallas_rows' at
+                                     # the bench point (v5e, 10/16 levels)
         "mesh_chunk": 2097152,       # dense SDF query chunk for mesh extraction
         "data_parallel": 1,          # ray-batch data parallelism over ICI
+        "chain_steps": True,         # lax.scan real_freq consecutive real
+                                     # steps into one dispatch (the axon
+                                     # tunnel pays ~10 ms RPC per dispatch);
+                                     # replays the unchained loop's exact
+                                     # RNG/step sequence (params match to
+                                     # compile noise)
     },
 }
 

@@ -200,6 +200,56 @@ def take_hist_rows(emb: jnp.ndarray, idx: jnp.ndarray,
         idx, emb)
 
 
+def take_mxu_rows(emb: jnp.ndarray, idx: jnp.ndarray,
+                  offsets: Sequence[int], n_levels: int,
+                  payload_dtype=None) -> jnp.ndarray:
+    """Fully MXU-resident gather/accumulate pair: the FORWARD gather is the
+    Pallas factored one-hot matmul (ops/gather_pallas.py — each level's table
+    VMEM-resident, ~2 ms of MXU work for the bench point's 3.3M rows vs
+    ~14-22 ms of XLA HBM-random-access gather) and the embedding cotangent
+    accumulates via the sort-free histogram (ops/hist_pallas.py). The two
+    kernels are exact transposes of each other, so linear_call nesting gives
+    arbitrary-order AD with no XLA gather/scatter anywhere on the table path.
+
+    payload_dtype=None gathers exact f32 table values (3-way bf16 table split,
+    <= 1 ulp) and accumulates f32 cotangents; bfloat16 rounds both directions
+    to bf16 (the reference's AMP fp16 embedding semantics, grid.py:44-47)."""
+    from .gather_pallas import level_gather, pack_level_table
+    from .hist_pallas import level_histogram
+
+    C = emb.shape[1]
+    N = idx.shape[0]
+    L = n_levels
+    Np = N // L
+    sizes = [offsets[l + 1] - offsets[l] for l in range(L)]
+    t_pad = max(sizes)
+    offs = jnp.asarray(np.asarray(offsets[:L], np.int32).reshape(L, 1))
+    interpret = _pallas_interpret()
+    n_split = 1 if payload_dtype is not None else 3
+    il = idx.astype(jnp.int32).reshape(L, Np) - offs       # (L, Np) local
+
+    def _gather(i, e):                                     # (T, C) -> (N, C)
+        tabs = pack_level_table(e, offsets, L, t_pad, n_split)
+        return level_gather(i, tabs, n_chan=C, interpret=interpret).T
+
+    def _hist(i, ct):                                      # (N, C) -> (T, C)
+        vals = tuple(ct[:, c].reshape(L, Np) if payload_dtype is None
+                     else ct[:, c].reshape(L, Np).astype(payload_dtype)
+                     for c in range(C))
+        out = level_histogram(i, vals, t_pad, interpret=interpret)
+        chans = [jnp.concatenate([out[c, l, :sizes[l]] for l in range(L)])
+                 for c in range(C)]
+        acc = jnp.stack(chans, -1).astype(ct.dtype)        # (offsets[L], C)
+        if acc.shape[0] < emb.shape[0]:   # statically-truncated levels: zeros
+            acc = jnp.pad(acc, ((0, emb.shape[0] - acc.shape[0]), (0, 0)))
+        return acc                                         # (T, C)
+
+    return _cd.linear_call(
+        _gather,
+        lambda i, ct: _cd.linear_call(_hist, _gather, i, ct),
+        il, emb)
+
+
 def take_level_scatter(emb: jnp.ndarray, idx: jnp.ndarray,
                        offsets: Sequence[int]) -> jnp.ndarray:
     """Gather whose cotangent scatters PER LEVEL into each level's table slice.
@@ -288,20 +338,26 @@ class HashGridSpec:
     align_corners: bool = False
     interpolation: str = "linear"  # 'linear' | 'smoothstep'
     # embedding-cotangent path:
-    #   'sort_pallas_rows' (default): row-gather forward (149M rows/s on v5e
-    #       vs 108M scalar-gathers/s flat) + fused lax.sort + Pallas windowed
-    #       one-hot segment-sum backward (ops/segsum_pallas.py, 86 ms per
-    #       16.8M updates vs 268 ms for 'level_scatter'); exact, any-order AD.
-    #       Full real step: 884 ms vs 2191 ms with 'level_scatter'.
-    #   'hist_rows': row-gather forward + SORT-FREE per-level one-hot-matmul
+    #   'hist_rows' (default): row-gather forward (149M rows/s on v5e vs 108M
+    #       scalar-gathers/s flat) + SORT-FREE per-level one-hot-matmul
     #       histogram backward (ops/hist_pallas.py): the 15-bit local index
     #       factors as hi*128+lo, so the accumulate is a dense
-    #       (T_hi, BLK)x(BLK, 128*C) MXU matmul per block — no sort at all
+    #       (T_hi, BLK)x(BLK, 128*C) MXU matmul per block — no sort at all.
+    #       Measured 3.7 ms/step faster than sort_pallas_rows at the bench
+    #       point (v5e, 10/16 levels); exact, any-order AD.
+    #   'sort_pallas_rows': row-gather forward + lax.sort + Pallas windowed
+    #       one-hot segment-sum backward (ops/segsum_pallas.py, 86 ms per
+    #       16.8M updates vs 268 ms for 'level_scatter').
+    #       Full real step: 884 ms vs 2191 ms with 'level_scatter'.
+    #   'mxu_rows': Pallas factored one-hot MXU gather forward (table
+    #       VMEM-resident, ops/gather_pallas.py) + the same hist backward —
+    #       no XLA gather/scatter anywhere on the table path; f32-exact
+    #       (3-way bf16 table split) unless grad_payload=bfloat16
     #   'sort_pallas': same backward as sort_pallas_rows, flat stream forward
     #   'level_scatter': per-level scatters via lax.scan on flat streams
     #   'scatter': XLA native scatter-add on the combined index space
     #   'sort': linear_call sort+cumsum segment-sum (scatter-free)
-    vjp_mode: str = "sort_pallas_rows"
+    vjp_mode: str = "hist_rows"
     # cotangent payload dtype through the backward sort ('float32' |
     # 'bfloat16'); bf16 halves sort payload traffic (reference AMP fp16-grad
     # precedent); accumulation stays f32 (tpu.grad_payload)
@@ -461,6 +517,9 @@ def encode(inputs: jnp.ndarray, embeddings: jnp.ndarray, spec: HashGridSpec,
     elif spec.vjp_mode == "hist_rows":
         pd = jnp.bfloat16 if spec.grad_payload == "bfloat16" else None
         feats = take_hist_rows(embeddings, idx, offsets, L, payload_dtype=pd)
+    elif spec.vjp_mode == "mxu_rows":
+        pd = jnp.bfloat16 if spec.grad_payload == "bfloat16" else None
+        feats = take_mxu_rows(embeddings, idx, offsets, L, payload_dtype=pd)
     else:
         feats = jnp.take(embeddings, idx, axis=0)
     feats = feats.reshape(L, n_corners, P, spec.level_dim)

@@ -65,7 +65,7 @@ class Trainer:
             log2_hashmap_size=config["model"].get("grid_log2_hashmap_size", 15),
             desired_resolution=config["model"].get("grid_desired_resolution", 128),
             grad_payload=config["tpu"].get("grad_payload", "float32"),
-            vjp_mode=config["tpu"].get("vjp_mode", "sort_pallas_rows"))
+            vjp_mode=config["tpu"].get("vjp_mode", "hist_rows"))
         self.spec = field.FieldSpec(
             grid=grid,
             num_frames=dataset.num_frames, bound=self.bound,
@@ -294,10 +294,38 @@ class Trainer:
         return dataclasses.replace(self.spec, active_levels=active_levels)
 
     def _make_real_step(self, active_levels=None):
+        return jax.jit(self._real_step_body(active_levels))
+
+    def _make_real_steps_chained(self, active_levels=None, n: int = 10):
+        """n consecutive real steps in ONE jitted lax.scan. Over the axon
+        tunnel each dispatch is an RPC (~10 ms of host overhead per step in
+        the epoch loop vs the isolated-step time, RESULTS.md); chaining
+        real_freq steps amortizes it n-fold. The scan body carries
+        (state, key) and splits the key exactly like the host loop
+        (key, k = split(key)), so the step/RNG sequence is identical to
+        n separate real_step calls (params match to XLA compile noise —
+        the scan body fuses differently). Compile cost ~= one step (scan
+        compiles the body once)."""
+        body = self._real_step_body(active_levels)
+
+        @jax.jit
+        def real_steps(state: TrainState, key, epoch):
+            def one(carry, _):
+                st, ky = carry
+                ky, k = jax.random.split(ky)
+                st, loss = body(st, k, epoch)
+                return (st, ky), loss
+
+            (state, key), losses = jax.lax.scan(one, (state, key), None,
+                                                length=n)
+            return state, key, losses[-1]
+
+        return real_steps
+
+    def _real_step_body(self, active_levels=None):
         curr = self.curr
         spec = self._spec_for_levels(active_levels)
 
-        @jax.jit
         def real_step(state: TrainState, key, epoch):
             step = state.global_step
             lr = curr.learning_rate(epoch)
@@ -678,6 +706,15 @@ class Trainer:
         if "ema" not in self._jit_cache:
             self._jit_cache["ema"] = self._make_ema_step()
         real_step = self._jit_cache[rkey]
+        chain = (int(tr["real_freq"]) if self.config["tpu"].get("chain_steps",
+                                                                True) else 0)
+        real_chain = None
+        if chain > 1:
+            ckey = f"real_chain_{al}_{chain}"
+            if ckey not in self._jit_cache:
+                self._jit_cache[ckey] = self._make_real_steps_chained(al,
+                                                                      chain)
+            real_chain = self._jit_cache[ckey]
         use_sds = self.guidance is not None
         virtual_step = (self._virtual_step_for_scale(self._novel_view_scale(),
                                                      al)
@@ -700,10 +737,15 @@ class Trainer:
                 else:
                     self.state, loss = real_step(self.state, k, epoch)
                 host_step += 1
-            for _ in range(tr["real_freq"]):
-                self.key, k = jax.random.split(self.key)
-                self.state, loss = real_step(self.state, k, epoch)
-                host_step += 1
+            if real_chain is not None:
+                self.state, self.key, loss = real_chain(self.state, self.key,
+                                                        epoch)
+                host_step += chain
+            else:
+                for _ in range(tr["real_freq"]):
+                    self.key, k = jax.random.split(self.key)
+                    self.state, loss = real_step(self.state, k, epoch)
+                    host_step += 1
         self._host_step = host_step
         self.state = self._jit_cache["ema"](self.state)
         return float(loss)

@@ -36,6 +36,15 @@ BASE = {
 VARIANTS = [
     ("base", {}),
     ("hist", {"tpu": {"vjp_mode": "hist_rows"}}),
+    ("mxu", {"tpu": {"vjp_mode": "mxu_rows"}}),
+    ("late_mxu", {"_epoch": 1900, "tpu": {"vjp_mode": "mxu_rows"}}),
+    # occupancy-update ablation: cadence pushed past the timing window so the
+    # sampled EMA update never fires — base minus this = amortized occ cost
+    ("occ_off", {"tpu": {"occ_update_every": 1 << 30}}),
+    ("occ_32", {"tpu": {"occ_update_every": 32}}),
+    # late-curriculum point (all 16 hash levels active)
+    ("late", {"_epoch": 1900}),
+    ("late_hist", {"_epoch": 1900, "tpu": {"vjp_mode": "hist_rows"}}),
     ("no_band", {"train": {"normal_smoothness": 0.0}}),
     ("no_perturb", {"train": {"normal_smooth_3d": 0.0}}),
     ("no_smooth", {"train": {"normal_smoothness": 0.0,
@@ -65,13 +74,16 @@ def time_variant(name: str, overrides: dict) -> float:
     from morpheus_tpu.data.synthetic import make_synthetic_scene
     from morpheus_tpu.train.trainer import Trainer
 
+    overrides = dict(overrides)
+    ep = int(overrides.pop("_epoch", 300))
     cfg = merge_defaults(deep_update(copy.deepcopy(BASE), overrides))
     scene = make_synthetic_scene(num_frames=8, H=128, W=128)
     ds = data_lib.DeformDataset(cfg, scene=scene)
     trainer = Trainer(cfg, ds)
-    trainer.epoch = 300
-    epoch = jnp.asarray(300.0)
-    state = trainer.state._replace(global_step=jnp.asarray(33000, jnp.int32))
+    trainer.epoch = ep
+    epoch = jnp.asarray(float(ep))
+    state = trainer.state._replace(
+        global_step=jnp.asarray(ep * 110, jnp.int32))
     step_fn = trainer._make_real_step(trainer._active_levels())
 
     key = jax.random.PRNGKey(0)

@@ -133,7 +133,7 @@ def test_offsets_match_reference_formula():
 
 
 @pytest.mark.parametrize("mode", ["sort_pallas", "sort_pallas_rows",
-                                  "hist_rows", "sort"])
+                                  "hist_rows", "mxu_rows", "sort"])
 def test_vjp_modes_match_scatter(mode):
     """All embedding-cotangent paths must agree with plain XLA scatter on
     values, embedding grads, input grads, and grad-of-grad (normals
@@ -203,3 +203,48 @@ def test_static_active_levels_matches_traced_mask():
         g_new = jax.grad(f)(emb, k)
         np.testing.assert_allclose(np.asarray(g_new), np.asarray(g_ref),
                                    rtol=1e-5, atol=1e-7)
+
+
+@pytest.mark.parametrize("payload", [None, "bfloat16"])
+def test_take_mxu_rows_matches_take(payload):
+    """The Pallas MXU gather (ops/gather_pallas.py) must match jnp.take on a
+    C=4 fused table with uneven level sizes and a non-BLK-multiple stream;
+    its embedding cotangent must match a scatter-add. bf16 payload rounds the
+    gathered values (and cotangents) to bf16 — the reference's AMP fp16
+    embedding semantics (grid.py:44-47)."""
+    spec = HashGridSpec(input_dim=3, num_levels=6, level_dim=4,
+                        base_resolution=4, log2_hashmap_size=9,
+                        desired_resolution=64)
+    offsets = spec.offsets
+    L = 5                                  # active subset, uneven sizes
+    Np = 777                               # not a multiple of gather BLK
+    key = jax.random.PRNGKey(0)
+    emb = jax.random.normal(key, (spec.table_size, 4))
+    ks = jax.random.split(key, L)
+    idx = jnp.concatenate([
+        jax.random.randint(ks[l], (Np,), 0, offsets[l + 1] - offsets[l])
+        + offsets[l] for l in range(L)]).astype(jnp.int32)
+
+    pd = jnp.bfloat16 if payload == "bfloat16" else None
+    got = jax.jit(lambda e: hashgrid.take_mxu_rows(e, idx, offsets, L,
+                                                   payload_dtype=pd))(emb)
+    ref = jnp.take(emb, idx, axis=0)
+    if pd is None:
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-6, atol=1e-6)
+    else:
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref.astype(jnp.bfloat16), np.float32),
+            rtol=1e-6, atol=1e-6)
+
+    ct = jax.random.normal(jax.random.PRNGKey(1), (L * Np, 4))
+
+    def loss(fn):
+        return lambda e: jnp.sum(fn(e) * ct)
+
+    g_ref = jax.grad(loss(lambda e: jnp.take(e, idx, axis=0)))(emb)
+    g_new = jax.grad(loss(lambda e: hashgrid.take_mxu_rows(
+        e, idx, offsets, L, payload_dtype=pd)))(emb)
+    tol = dict(rtol=1e-5, atol=1e-5) if pd is None else \
+        dict(rtol=2e-2, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(g_new), np.asarray(g_ref), **tol)

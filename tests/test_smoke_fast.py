@@ -97,3 +97,28 @@ def test_virtual_sds_step_smoke():
                 for a, b in zip(jax.tree.leaves(tr.state.params),
                                 jax.tree.leaves(p0)))
     assert moved > 0
+
+
+def test_chained_steps_match_unchained():
+    """tpu.chain_steps (one lax.scan dispatch per real_freq block) replays
+    the unchained host loop's exact RNG/step sequence (key and global_step
+    agree bitwise); params agree to compilation noise (the scan body is the
+    same program but XLA fuses it differently, so last-ulp f32 differences
+    are expected)."""
+    def run(chain):
+        cfg = _micro_cfg(real_freq=3, n_iters=2)
+        cfg["tpu"]["chain_steps"] = chain
+        scene = make_synthetic_scene(num_frames=2, H=12, W=12)
+        ds = data_lib.DeformDataset(cfg, scene=scene)
+        tr = Trainer(cfg, ds)
+        tr.epoch = 1
+        tr.train_one_epoch()
+        return tr
+
+    a, b = run(True), run(False)
+    assert int(a.state.global_step) == int(b.state.global_step) == 6
+    np.testing.assert_array_equal(np.asarray(a.key), np.asarray(b.key))
+    for x, y in zip(jax.tree.leaves(a.state.params),
+                    jax.tree.leaves(b.state.params)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-3, atol=1e-7)
