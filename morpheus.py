@@ -61,10 +61,14 @@ def main(argv=None):
             # path (render → VAE → UNet CFG → grad) at real compute cost when
             # no checkpoint ships in the environment; guidance is then
             # structural, not semantic
+            import dataclasses
             import jax
             from morpheus_tpu.guidance.zero123 import (Zero123Guidance,
                                                        Zero123Spec)
-            spec = Zero123Spec()
+            spec = dataclasses.replace(
+                Zero123Spec(),
+                compute_dtype=config["guidance"].get("compute_dtype",
+                                                     "float32"))
             guidance = Zero123Guidance.init_random(jax.random.PRNGKey(0),
                                                    spec)
             log("Initialized full-size RANDOM-weight Zero123 guidance "
@@ -72,9 +76,13 @@ def main(argv=None):
         elif os.path.exists(ckpt):
             from morpheus_tpu.guidance.zero123 import (Zero123Guidance,
                                                        Zero123Spec)
+            import dataclasses
             zcfg = config["guidance"].get("zero123_config", "")
             spec = (Zero123Spec.from_ldm_config(zcfg)
                     if zcfg and os.path.exists(zcfg) else Zero123Spec())
+            spec = dataclasses.replace(
+                spec, compute_dtype=config["guidance"].get("compute_dtype",
+                                                           "float32"))
             guidance = Zero123Guidance.from_checkpoint(
                 ckpt, t_range=tuple(config["guidance"]["t_range"]), spec=spec)
             log(f"Loaded Zero123 guidance from {ckpt}")

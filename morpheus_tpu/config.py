@@ -131,6 +131,10 @@ DEFAULTS: dict[str, dict[str, Any]] = {
         "zero123_train": "cur_or_one",
         "zero123_grad_weight": 0.01,
         "image_size": 256,   # SDS render resolution (latents image_size/8)
+        "compute_dtype": "float32",  # 'bfloat16' runs the frozen UNet's
+                                     # ε-prediction in bf16 (the reference's
+                                     # fp16-autocast/vram_O analogue); the
+                                     # differentiable VAE/render path stays f32
     },
     # TPU-native knobs (no reference equivalent).
     "tpu": {

@@ -32,7 +32,9 @@ class UNetModel(nn.Module):
     def __call__(self, x, timesteps, context):
         """x: (B, H, W, in_ch); timesteps: (B,); context: (B, L, 768)."""
         mc = self.model_channels
-        t_emb = timestep_embedding(timesteps, mc)
+        # sin/cos math in f32 (large t x freq args), then follow x's compute
+        # dtype so a bf16 pass stays bf16 end-to-end (guidance.compute_dtype)
+        t_emb = timestep_embedding(timesteps, mc).astype(x.dtype)
         emb = nn.Dense(mc * 4, name="time_embed_0")(t_emb)
         emb = nn.Dense(mc * 4, name="time_embed_2")(nn.silu(emb))
 

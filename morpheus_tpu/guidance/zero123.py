@@ -37,6 +37,13 @@ class Zero123Spec:
     clip_heads: int = 16
     clip_patch: int = 14
     vae_ch: int = 128
+    # UNet compute dtype (guidance.compute_dtype). 'bfloat16' casts the frozen
+    # UNet's params + activations for the ε-prediction only — the analogue of
+    # the reference's fp16 autocast over the LDM forward (zero123_utils.py
+    # vram_O / torch.cuda.amp); the UNet is under stop_gradient so SDS
+    # gradients are unaffected except through the (fp16-equivalent) ε̂ values.
+    # The differentiable VAE/render path stays f32.
+    compute_dtype: str = "float32"
 
     @property
     def diffusion(self) -> schedule.DiffusionSchedule:
@@ -167,6 +174,14 @@ def vae_decode(g: Zero123Guidance, latents: jnp.ndarray,
 
 def apply_unet(g: Zero123Guidance, x, t, context,
                spec: Zero123Spec = Zero123Spec()):
+    if spec.compute_dtype == "bfloat16":
+        p = jax.tree.map(
+            lambda a: a.astype(jnp.bfloat16)
+            if a.dtype == jnp.float32 else a, g.unet_params)
+        out = spec.unet_module().apply(
+            {"params": p}, x.astype(jnp.bfloat16), t,
+            context.astype(jnp.bfloat16))
+        return out.astype(jnp.float32)
     return spec.unet_module().apply({"params": g.unet_params}, x, t, context)
 
 

@@ -239,3 +239,27 @@ def test_save_guidance_panels_written(tiny_spec, tiny_guidance, tmp_path):
     img = cv2.imread(pngs[0])
     S = tiny_spec.image_size
     assert img.shape == (S, 4 * S, 3), img.shape  # 4 tiles side by side
+
+
+def test_unet_bf16_compute_matches_f32(tiny_spec, tiny_guidance):
+    """guidance.compute_dtype=bfloat16 (the reference's fp16-autocast/vram_O
+    analogue) must reproduce the f32 ε-prediction within bf16 tolerance —
+    the UNet is frozen/stop-gradient'd, so only ε̂ precision changes."""
+    import dataclasses
+    spec16 = dataclasses.replace(tiny_spec, compute_dtype="bfloat16")
+    lat = tiny_spec.image_size // 8
+    key = jax.random.PRNGKey(7)
+    x = jax.random.normal(key, (2, lat, lat, 8))
+    t = jnp.asarray([17, 400], jnp.int32)
+    ctx = jax.random.normal(jax.random.fold_in(key, 1),
+                            (2, 1, tiny_spec.context_dim))
+    e32 = z123.apply_unet(tiny_guidance, x, t, ctx, tiny_spec)
+    e16 = z123.apply_unet(tiny_guidance, x, t, ctx, spec16)
+    assert e16.dtype == jnp.float32
+    # bf16 has ~3 decimal digits; activations are O(1)
+    np.testing.assert_allclose(np.asarray(e16), np.asarray(e32),
+                               rtol=0.1, atol=0.08)
+    # and it must still be finite/stable at the real timestep extremes
+    t2 = jnp.asarray([0, tiny_spec.num_train_timesteps - 1], jnp.int32)
+    assert bool(jnp.all(jnp.isfinite(
+        z123.apply_unet(tiny_guidance, x, t2, ctx, spec16))))
