@@ -108,30 +108,40 @@ def main():
     step_late = trainer._make_real_step(trainer._active_levels())
     dt_late, _, _, _ = _time_steps(step_late, state_late, epoch_late, n=16)
 
-    # one full-size random-weight Zero123 SDS virtual step (no ckpt in image)
-    sds_ms = None
+    # one full-size random-weight Zero123 SDS virtual step (no ckpt in image),
+    # timed with the f32 UNet and with guidance.compute_dtype=bfloat16 (the
+    # reference's fp16-autocast analogue)
+    sds_ms = {}
     try:
+        import dataclasses
+
         from morpheus_tpu.guidance import zero123 as z123
+
+        def time_sds(gspec, label):
+            g = z123.Zero123Guidance.init_random(jax.random.PRNGKey(1), gspec)
+            trainer_v = Trainer(cfg, ds, guidance=g, guidance_spec=gspec)
+            trainer_v.epoch = 300
+            vstep = trainer_v._virtual_step_for_scale(
+                0.2, trainer_v._active_levels())
+            st = trainer_v.state._replace(
+                global_step=jnp.asarray(33001, jnp.int32))
+            key = jax.random.PRNGKey(2)
+            for _ in range(3):
+                key, k = jax.random.split(key)
+                st, vloss, _ = vstep(st, g, trainer_v._embeddings, k, epoch)
+            float(vloss)
+            t0 = time.perf_counter()
+            nv = 8
+            for _ in range(nv):
+                key, k = jax.random.split(key)
+                st, vloss, _ = vstep(st, g, trainer_v._embeddings, k, epoch)
+            float(vloss)
+            sds_ms[label] = (time.perf_counter() - t0) / nv * 1000.0
+
         gspec = z123.Zero123Spec()
-        g = z123.Zero123Guidance.init_random(jax.random.PRNGKey(1), gspec)
-        cfg_v = dict(cfg)
-        trainer_v = Trainer(cfg, ds, guidance=g, guidance_spec=gspec)
-        trainer_v.epoch = 300
-        vstep = trainer_v._virtual_step_for_scale(0.2,
-                                                  trainer_v._active_levels())
-        st = trainer_v.state._replace(global_step=jnp.asarray(33001, jnp.int32))
-        key = jax.random.PRNGKey(2)
-        for _ in range(3):
-            key, k = jax.random.split(key)
-            st, vloss, _ = vstep(st, g, trainer_v._embeddings, k, epoch)
-        float(vloss)
-        t0 = time.perf_counter()
-        nv = 8
-        for _ in range(nv):
-            key, k = jax.random.split(key)
-            st, vloss, _ = vstep(st, g, trainer_v._embeddings, k, epoch)
-        float(vloss)
-        sds_ms = (time.perf_counter() - t0) / nv * 1000.0
+        time_sds(gspec, "sds_step_ms")
+        time_sds(dataclasses.replace(gspec, compute_dtype="bfloat16"),
+                 "sds_step_ms_bf16")
     except Exception:
         pass
 
@@ -146,8 +156,8 @@ def main():
         "device": str(jax.devices()[0]),
         "loss": float(loss),
     }
-    if sds_ms is not None:
-        out["sds_step_ms"] = round(sds_ms, 1)
+    for label, ms in sds_ms.items():
+        out[label] = round(ms, 1)
     if flops:
         out["step_gflops"] = round(flops / 1e9, 1)
         out["mfu_vs_bf16_peak"] = round(flops / dt / V5E_PEAK_FLOPS, 4)
