@@ -194,10 +194,15 @@ def march_rays(key: jax.Array, state: OccupancyState, rays_o: jnp.ndarray,
     else:
         # single gather: binaries are exactly occs > min(mean, threshold)
         # (update_occupancy:81-82), so the boolean mask is derived from the
-        # float lookup — halves the N*M random-access rows of the march
+        # float lookup — halves the N*M random-access rows of the march.
+        # A never-updated grid (occs all zero) is fully occupied, matching
+        # the optimistic binaries=ones init — without this, a fresh state
+        # marched through this path sees an all-empty grid (o_val > 0 is
+        # False everywhere) and every render mask comes back dead.
         o_val = occs_lookup(state.occs, R, xs, bound)               # (N, M)
-        thresh = jnp.minimum(jnp.mean(state.occs), occ_threshold)
-        occ = (o_val > thresh) & inside
+        mean = jnp.mean(state.occs)
+        thresh = jnp.minimum(mean, occ_threshold)
+        occ = ((o_val > thresh) | (mean == 0.0)) & inside
     tau = jnp.where(occ, jnp.clip(o_val, 0.0, 20.0), 0.0)
     tau_cum = jnp.concatenate([jnp.zeros_like(tau[:, :1]),
                                jnp.cumsum(tau, -1)[:, :-1]], -1)

@@ -230,3 +230,34 @@ def test_compact_samples_budget_drops_lowest_score():
     kept = set(zip(np.asarray(cs["ray_id"]).tolist(),
                    np.round(np.asarray(cs["t_starts"]) / 0.01).astype(int).tolist()))
     assert kept == {(0, 1), (0, 2), (1, 1), (1, 3)}
+
+
+def test_march_rays_single_gather_fresh_state_fully_occupied():
+    """The single-gather march (occ_threshold path) must treat a NEVER-updated
+    grid (occs all zero, binaries=ones init) as fully occupied, exactly like
+    the two-gather binaries path — regression: a fresh state marched through
+    the derived mask saw an all-empty grid and every render mask came back
+    dead."""
+    R = 16
+    state = occupancy.init_occupancy(R)
+    o = jnp.array([[0.0, 0.0, -3.0]])
+    d = jnp.array([[0.0, 0.0, 1.0]])
+    kw = dict(bound=1.0, step_size=0.02, march_steps=128, max_samples=32)
+    _, _, m_two = occupancy.march_rays(jax.random.PRNGKey(0), state, o, d,
+                                       **kw)
+    _, _, m_one = occupancy.march_rays(jax.random.PRNGKey(0), state, o, d,
+                                       occ_threshold=0.01, **kw)
+    assert int(m_two.sum()) > 0
+    np.testing.assert_array_equal(np.asarray(m_one), np.asarray(m_two))
+
+    # and after an update that empties most cells, the two paths still agree
+    centers = occupancy.cell_centers(R, 1.0)
+    occs = jnp.where(jnp.linalg.norm(centers, axis=-1) < 0.3, 0.5, 0.0)
+    state2 = state._replace(
+        occs=occs, binaries=(occs > jnp.minimum(jnp.mean(occs), 0.01))
+        .reshape(R, R, R))
+    _, _, m_two2 = occupancy.march_rays(jax.random.PRNGKey(1), state2, o, d,
+                                        **kw)
+    _, _, m_one2 = occupancy.march_rays(jax.random.PRNGKey(1), state2, o, d,
+                                        occ_threshold=0.01, **kw)
+    np.testing.assert_array_equal(np.asarray(m_one2), np.asarray(m_two2))
