@@ -72,6 +72,67 @@ def make_sharded_real_step(trainer: Trainer, mesh: Mesh, axis: str = "rays"):
     return jax.jit(step, out_shardings=(replicated, replicated))
 
 
+def make_sharded_real_steps_chained(trainer: Trainer, mesh: Mesh, n: int,
+                                    axis: str = "rays"):
+    """n consecutive sharded real steps in ONE jitted lax.scan (the multi-chip
+    analogue of trainer._make_real_steps_chained): the scan consumes a stack
+    of n host-sampled batches (leading axis n, ray axis sharded over the
+    mesh) and splits the key per step exactly like the host loop, amortizing
+    the per-dispatch RPC n-fold. Returns
+    steps(state, batches, bgs, key, epoch) -> (state, key, last_loss)."""
+    replicated = NamedSharding(mesh, P())
+    curr = trainer.curr
+
+    def steps(state: TrainState, batches, bgs, key, epoch):
+        lr = curr.learning_rate(epoch)
+        max_level = curr.max_level(epoch)
+
+        def one(carry, xs):
+            st, ky = carry
+            batch, bg_color = xs
+            ky, k = jax.random.split(ky)
+
+            def loss_fn(params):
+                loss, _ = trainer.real_loss_from_batch(
+                    params, st.occ, k, epoch, max_level, batch, bg_color)
+                return loss
+
+            loss, grads = jax.value_and_grad(loss_fn)(st.params)
+            grads = jax.tree.map(jnp.add, grads, st.pending_grads)
+            zeros = jax.tree.map(jnp.zeros_like, st.pending_grads)
+            if trainer.optim_name == "adan":
+                opt_state, params = optim.adan_update(st.opt_state, grads,
+                                                      st.params, lr, 0.0)
+            else:
+                opt_state, params = optim.adam_update(st.opt_state, grads,
+                                                      st.params, lr, 0.0)
+            st2 = TrainState(params, opt_state, st.ema, st.occ,
+                             st.global_step + 1, zeros)
+            return (st2, ky), loss
+
+        (state, key), losses = jax.lax.scan(one, (state, key),
+                                            (batches, bgs), length=n)
+        return state, key, losses[-1]
+
+    return jax.jit(steps,
+                   out_shardings=(replicated, replicated, replicated))
+
+
+def shard_batch_stacked(batch: dict, mesh: Mesh, axis: str = "rays") -> dict:
+    """Place a stack of n batches (leading axis n, per-ray axis second) with
+    the RAY axis sharded over the mesh — the scan input layout for
+    make_sharded_real_steps_chained."""
+    out = {}
+    for k, v in batch.items():
+        if (hasattr(v, "ndim") and v.ndim >= 2
+                and v.shape[1] % mesh.devices.size == 0):
+            spec = P(None, axis, *([None] * (v.ndim - 2)))
+        else:
+            spec = P()
+        out[k] = jax.device_put(v, NamedSharding(mesh, spec))
+    return out
+
+
 def make_sharded_virtual_step(trainer: Trainer, mesh: Mesh,
                               scale: float | None = None, axis: str = "rays"):
     """Jit the virtual/SDS train step with a batch of V views sharded over the

@@ -680,14 +680,39 @@ class Trainer:
                     self.state, loss = real_step(self.state, batch, bg, k,
                                                  epoch)
                 host_step += 1
-            for _ in range(tr["real_freq"]):
-                self.key, k = jax.random.split(self.key)
-                batch, bg = sharding.host_sample_real_batch(
+            chain = (int(tr["real_freq"])
+                     if self.config["tpu"].get("chain_steps", True) else 0)
+            if chain > 1:
+                # one scan dispatch over real_freq host-sampled batches (same
+                # key-split sequence as the loop below; see
+                # sharding.make_sharded_real_steps_chained)
+                ckey = f"dp_real_chain_{chain}"
+                if ckey not in self._jit_cache:
+                    self._jit_cache[ckey] = \
+                        sharding.make_sharded_real_steps_chained(
+                            self, self.mesh, chain)
+                pairs = [sharding.host_sample_real_batch(
                     self._np_rng, self.data, nf, tr["real_ray_num"])
-                batch = sharding.shard_batch(batch, self.mesh)
-                bg = sharding.shard_batch({"bg": bg}, self.mesh)["bg"]
-                self.state, loss = real_step(self.state, batch, bg, k, epoch)
-                host_step += 1
+                    for _ in range(chain)]
+                batches = jax.tree.map(lambda *xs: np.stack(xs),
+                                       *[p[0] for p in pairs])
+                bgs = np.stack([p[1] for p in pairs])
+                batches = sharding.shard_batch_stacked(batches, self.mesh)
+                bgs = sharding.shard_batch_stacked({"bg": bgs},
+                                                   self.mesh)["bg"]
+                self.state, self.key, loss = self._jit_cache[ckey](
+                    self.state, batches, bgs, self.key, epoch)
+                host_step += chain
+            else:
+                for _ in range(tr["real_freq"]):
+                    self.key, k = jax.random.split(self.key)
+                    batch, bg = sharding.host_sample_real_batch(
+                        self._np_rng, self.data, nf, tr["real_ray_num"])
+                    batch = sharding.shard_batch(batch, self.mesh)
+                    bg = sharding.shard_batch({"bg": bg}, self.mesh)["bg"]
+                    self.state, loss = real_step(self.state, batch, bg, k,
+                                                 epoch)
+                    host_step += 1
         self._host_step = host_step
         if "ema" not in self._jit_cache:
             self._jit_cache["ema"] = self._make_ema_step()

@@ -118,3 +118,36 @@ def test_trainer_data_parallel_epoch():
     diff = sum(float(jnp.abs(a - b).sum()) for a, b in zip(
         jax.tree.leaves(tr.state.params), jax.tree.leaves(p0)))
     assert diff > 0
+
+
+def test_dp_chained_steps_match_loop():
+    """The dp chained scan (sharding.make_sharded_real_steps_chained) must
+    replay the per-step dp loop exactly: same host-rng batch order, same key
+    splits — params agree to compile noise."""
+    import __graft_entry__ as ge
+    from morpheus_tpu.data import dataset as data_lib
+    from morpheus_tpu.data.synthetic import make_synthetic_scene
+    from morpheus_tpu.train.trainer import Trainer
+
+    def run(chain):
+        cfg = ge._tiny_config()
+        cfg["train"]["real_ray_num"] = 64
+        cfg["train"]["n_iters"] = 1
+        cfg["train"]["real_freq"] = 3
+        cfg["tpu"]["data_parallel"] = 8
+        cfg["tpu"]["chain_steps"] = chain
+        scene = make_synthetic_scene(num_frames=4, H=16, W=16)
+        ds = data_lib.DeformDataset(cfg, scene=scene)
+        tr = Trainer(cfg, ds)
+        tr.epoch = 1
+        tr.train_one_epoch()
+        return tr
+
+    a, b = run(True), run(False)
+    # 1 virtual-freq fallback real step (no guidance) + 3 chained real steps
+    assert int(a.state.global_step) == int(b.state.global_step) == 4
+    np.testing.assert_array_equal(np.asarray(a.key), np.asarray(b.key))
+    for x, y in zip(jax.tree.leaves(a.state.params),
+                    jax.tree.leaves(b.state.params)):
+        np.testing.assert_allclose(np.asarray(x), np.asarray(y),
+                                   rtol=1e-3, atol=1e-7)
