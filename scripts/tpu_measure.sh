@@ -16,6 +16,10 @@ timeout 2400 python scripts/profile_step.py base hist mxu late_hist late_mxu occ
     > $OUT/profile.txt 2>&1
 echo "profile done rc=$?" | tee -a $OUT/status
 
+echo "== device trace (mxu variant) ==" | tee -a $OUT/status
+timeout 1200 python scripts/trace_step.py mxu > $OUT/trace_mxu.txt 2>&1
+echo "trace done rc=$?" | tee -a $OUT/status
+
 echo "== bench.py (shipped defaults) ==" | tee -a $OUT/status
 timeout 1800 python bench.py > $OUT/bench.json 2> $OUT/bench.err
 echo "bench done rc=$?" | tee -a $OUT/status
