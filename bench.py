@@ -11,8 +11,12 @@ epoch-300 curriculum point (coarse-to-fine has 10/16 hash levels unlocked).
 
 Protocol: steady state — global_step starts past the occupancy warmup (a real
 run is past step 256 within its first 3 epochs of 220k steps) and the timing
-window is 32 steps so the every-16-steps sampled occupancy update is amortized
-at its true cadence. vs_baseline is rays/sec against a 30k rays/sec
+window covers >= 32 steps so the every-16-steps sampled occupancy update is
+amortized at its true cadence. The headline value times the SHIPPED training
+dispatch path: tpu.chain_steps (default on) scans real_freq=10 real steps per
+device dispatch exactly as `python morpheus.py` does; rays_per_sec_isolated
+reports the one-dispatch-per-step rate (which additionally pays the ~10 ms
+axon-tunnel RPC per step). vs_baseline is rays/sec against a 30k rays/sec
 reference-GPU estimate (220k steps x ~2.2k rays in ~4.5h on A100 — the
 reference publishes no number, BASELINE.json "published": {}).
 
@@ -32,6 +36,22 @@ import numpy as np
 
 BASELINE_RAYS_PER_SEC = 30000.0
 V5E_PEAK_FLOPS = 197e12  # bf16; f32 ~ half
+
+# The bench operating point. scripts/profile_step.py imports this as its
+# ablation BASE so the cost split is always measured at the same point as
+# the headline number.
+BENCH_POINT_CFG = {
+    "data": {"data_dir": "<synthetic>"},
+    "exp": {"seed": 0, "save_guidance": False},
+    "train": {"real_ray_num": 2048, "real_freq": 1, "n_iters": 1},
+    "model": {"bg_radius": 0.0},
+    "render": {"step_size": 0.01},
+    "tpu": {"max_samples_per_ray": 64, "march_steps": 288,
+            "occ_resolution": 128, "occ_warmup_steps": 256,
+            "occ_update_every": 16, "occ_sample_fraction": 0.0625,
+            "grad_payload": "bfloat16",
+            "sample_budget": 16, "band_budget": 4, "smooth_budget": 4},
+}
 
 
 def _time_steps(step_fn, state, epoch, n=32, warmup=6):
@@ -71,18 +91,8 @@ def main():
     from morpheus_tpu.data.synthetic import make_synthetic_scene
     from morpheus_tpu.train.trainer import Trainer
 
-    cfg = merge_defaults({
-        "data": {"data_dir": "<synthetic>"},
-        "exp": {"seed": 0, "save_guidance": False},
-        "train": {"real_ray_num": 2048, "real_freq": 1, "n_iters": 1},
-        "model": {"bg_radius": 0.0},
-        "render": {"step_size": 0.01},
-        "tpu": {"max_samples_per_ray": 64, "march_steps": 288,
-                "occ_resolution": 128, "occ_warmup_steps": 256,
-                "occ_update_every": 16, "occ_sample_fraction": 0.0625,
-                "grad_payload": "bfloat16",
-                "sample_budget": 16, "band_budget": 4, "smooth_budget": 4},
-    })
+    import copy
+    cfg = merge_defaults(copy.deepcopy(BENCH_POINT_CFG))
     scene = make_synthetic_scene(num_frames=8, H=128, W=128)
     ds = data_lib.DeformDataset(cfg, scene=scene)
     trainer = Trainer(cfg, ds)
@@ -96,10 +106,29 @@ def main():
     epoch = jnp.asarray(300.0)
     state = trainer.state._replace(global_step=jnp.asarray(33000, jnp.int32))
     step_fn = trainer._make_real_step(trainer._active_levels())
-    dt, compile_s, state, loss = _time_steps(step_fn, state, epoch)
-    rays_per_sec = rays / dt
+    dt_iso, compile_s, state, loss = _time_steps(step_fn, state, epoch)
     flops = _flops_estimate(step_fn, trainer.state._replace(
         global_step=jnp.asarray(33000, jnp.int32)), epoch)
+
+    # primary number: the shipped training path — tpu.chain_steps (default on)
+    # scans real_freq=10 real steps per dispatch (reference inner loop,
+    # morpheus.py:1415-1424), amortizing the ~10 ms/dispatch axon-tunnel RPC
+    # that the isolated-step timing above pays per step
+    chain_n = 10
+    chained = trainer._make_real_steps_chained(trainer._active_levels(),
+                                               n=chain_n)
+    ckey = jax.random.PRNGKey(3)
+    cstate = state
+    for _ in range(2):  # compile + settle
+        cstate, ckey, closs = chained(cstate, ckey, epoch)
+    float(closs)
+    t0 = time.perf_counter()
+    n_disp = 4
+    for _ in range(n_disp):
+        cstate, ckey, closs = chained(cstate, ckey, epoch)
+    float(closs)
+    dt = (time.perf_counter() - t0) / (n_disp * chain_n)
+    rays_per_sec = rays / dt
 
     # late-curriculum step: all 16 levels active (epoch > 0.95 * n_epochs)
     trainer.epoch = 1900
@@ -118,7 +147,9 @@ def main():
         from morpheus_tpu.guidance import zero123 as z123
 
         def time_sds(gspec, label):
-            g = z123.Zero123Guidance.init_random(jax.random.PRNGKey(1), gspec)
+            g = z123.cast_for_compute(
+                z123.Zero123Guidance.init_random(jax.random.PRNGKey(1),
+                                                 gspec), gspec)
             trainer_v = Trainer(cfg, ds, guidance=g, guidance_spec=gspec)
             trainer_v.epoch = 300
             vstep = trainer_v._virtual_step_for_scale(
@@ -142,8 +173,13 @@ def main():
         time_sds(gspec, "sds_step_ms")
         time_sds(dataclasses.replace(gspec, compute_dtype="bfloat16"),
                  "sds_step_ms_bf16")
-    except Exception:
-        pass
+    except Exception as e:
+        # SDS timing is best-effort (full-size UNet may OOM a small host),
+        # but a breakage must be visible, not a silently missing field
+        import sys
+        import traceback
+        print(f"bench: SDS timing failed: {e!r}", file=sys.stderr)
+        traceback.print_exc()
 
     out = {
         "metric": "rays_per_sec_per_chip",
@@ -151,6 +187,7 @@ def main():
         "unit": "rays/s",
         "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 3),
         "steps_per_sec": round(1.0 / dt, 2),
+        "rays_per_sec_isolated": round(rays / dt_iso, 1),
         "rays_per_sec_late": round(rays / dt_late, 1),
         "compile_s": round(compile_s, 1),
         "device": str(jax.devices()[0]),

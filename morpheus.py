@@ -56,7 +56,7 @@ def main(argv=None):
     guidance = None
     if config["guidance"]["model"] and config["guidance"].get("zero123_ckpt"):
         ckpt = config["guidance"]["zero123_ckpt"]
-        if ckpt == "<random>":
+        if ckpt in ("<random>", "<random-tiny>"):
             # full-size random-weight Zero123: exercises the complete SDS
             # path (render → VAE → UNet CFG → grad) at real compute cost when
             # no checkpoint ships in the environment; guidance is then
@@ -65,14 +65,22 @@ def main(argv=None):
             import jax
             from morpheus_tpu.guidance.zero123 import (Zero123Guidance,
                                                        Zero123Spec)
+            if ckpt == "<random-tiny>":
+                # shrunken architecture (still every layer type) so the full
+                # SDS CLI path is driveable on CPU in minutes — smoke/verify
+                # use only, guidance is structural not semantic
+                spec = Zero123Spec(image_size=64, unet_channels=32,
+                                   unet_mult=(1, 2), unet_heads=4,
+                                   context_dim=32, clip_width=64,
+                                   clip_layers=2, clip_heads=4, clip_patch=14)
+            else:
+                spec = Zero123Spec()
             spec = dataclasses.replace(
-                Zero123Spec(),
-                compute_dtype=config["guidance"].get("compute_dtype",
-                                                     "float32"))
+                spec, compute_dtype=config["guidance"].get("compute_dtype",
+                                                           "float32"))
             guidance = Zero123Guidance.init_random(jax.random.PRNGKey(0),
                                                    spec)
-            log("Initialized full-size RANDOM-weight Zero123 guidance "
-                "(zero123_ckpt: <random>)")
+            log(f"Initialized RANDOM-weight Zero123 guidance ({ckpt})")
         elif os.path.exists(ckpt):
             from morpheus_tpu.guidance.zero123 import (Zero123Guidance,
                                                        Zero123Spec)
@@ -89,6 +97,9 @@ def main(argv=None):
         else:
             log(f"[warn] zero123 ckpt not found at {ckpt}; "
                 "training recon-only (no SDS)")
+        if guidance is not None:
+            from morpheus_tpu.guidance.zero123 import cast_for_compute
+            guidance = cast_for_compute(guidance, spec)
 
     trainer = Trainer(config, dataset, guidance=guidance,
                       guidance_spec=(spec if guidance is not None else None),
@@ -132,10 +143,35 @@ def main(argv=None):
             log(f"epoch {epoch}/{max_epochs} loss={loss:.4f} "
                 f"({time.time() - t0:.2f}s)")
 
-        # periodic checkpoint (every mesh_all_interval epochs) + final
-        if epoch % exp["mesh_all_interval"] == 0 or epoch == max_epochs:
+        # periodic checkpoint (every mesh_all_interval epochs) + final;
+        # exp.ckpt_interval adds a denser cadence for preemption-prone runs
+        ci = exp.get("ckpt_interval", 0)
+        if (epoch % exp["mesh_all_interval"] == 0 or epoch == max_epochs
+                or (ci and epoch % ci == 0)):
             trainer.save_ckpt(os.path.join(workspace, "models",
                                            f"model_ep_{epoch:04d}.pkl"))
+            if ci and epoch % exp["mesh_all_interval"] != 0 \
+                    and epoch != max_epochs:
+                # dense interval ckpts are crash insurance only — prune
+                # older ones matching the dense cadence so they don't
+                # accumulate. Keepers: mesh_all_interval epochs, anything
+                # not on the dense cadence (e.g. a previous run's final
+                # ckpt), and the newest ckpt (numeric epoch, not lexical,
+                # so >4-digit epochs stay safe).
+                import glob as _glob
+                import re as _re
+                cands = []
+                for old in _glob.glob(os.path.join(workspace, "models",
+                                                   "model_ep_*.pkl")):
+                    m = _re.match(r"model_ep_(\d+)\.pkl$",
+                                  os.path.basename(old))
+                    if m:
+                        cands.append((int(m.group(1)), old))
+                cands.sort()
+                for ep, old in cands[:-1]:
+                    if ep % ci == 0 and ep % exp["mesh_all_interval"] != 0 \
+                            and ep != max_epochs:
+                        os.remove(old)
 
         if epoch % exp["test_interval"] == 0 or epoch == max_epochs:
             results = os.path.join(workspace, "results")

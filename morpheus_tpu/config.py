@@ -54,6 +54,9 @@ DEFAULTS: dict[str, dict[str, Any]] = {
         "seed": 2024,
         "clip_ckpt": "",   # optional OpenAI CLIP ViT-B/32 weights for eval
         "ckpt": "latest",  # 'latest' | 'scratch' | explicit checkpoint path
+        "ckpt_interval": 0,  # extra checkpoint cadence in epochs (0 = only at
+                             # mesh_all_interval + final, as the loop always
+                             # does); set lower for preemption-prone runs
 
     },
     "render": {

@@ -246,8 +246,13 @@ def eval_mesh_3d(rec_files, gt_files, save_file, epoch, workers=None):
                 res.append((float(parts[2]), float(parts[3])))
             elif parts and parts[0] == "FAILED":
                 print(f"[eval_mesh_3d] frame failed: {line}")
-        if out.returncode != 0 and not res:
-            print(f"[eval_mesh_3d] worker died: {out.stderr[-500:]}")
+        if out.returncode != 0:
+            # worker died — possibly mid-chunk, after emitting some METRIC
+            # lines; report how many frames this chunk lost so a silently
+            # smaller epoch average is visible in the log
+            print(f"[eval_mesh_3d] worker died rc={out.returncode} "
+                  f"({len(res)}/{len(idxs)} frames recovered): "
+                  f"{out.stderr[-500:]}")
         return res
 
     with ThreadPoolExecutor(workers) as ex:

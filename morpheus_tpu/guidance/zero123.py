@@ -172,9 +172,23 @@ def vae_decode(g: Zero123Guidance, latents: jnp.ndarray,
     return jnp.clip(img / 2.0 + 0.5, 0.0, 1.0)
 
 
+def cast_for_compute(g: Zero123Guidance,
+                     spec: Zero123Spec) -> Zero123Guidance:
+    """One-time cast of the frozen UNet tree to spec.compute_dtype. Call at
+    guidance construction: dtypes are static at trace time, so after this the
+    in-jit cast in apply_unet is elided — without it the full ~3.5 GB f32
+    UNet tree would be re-cast to bf16 on device EVERY virtual step."""
+    if spec.compute_dtype != "bfloat16":
+        return g
+    p = jax.tree.map(lambda a: a.astype(jnp.bfloat16)
+                     if a.dtype == jnp.float32 else a, g.unet_params)
+    return g._replace(unet_params=p)
+
+
 def apply_unet(g: Zero123Guidance, x, t, context,
                spec: Zero123Spec = Zero123Spec()):
     if spec.compute_dtype == "bfloat16":
+        # no-op when cast_for_compute already produced bf16 leaves
         p = jax.tree.map(
             lambda a: a.astype(jnp.bfloat16)
             if a.dtype == jnp.float32 else a, g.unet_params)

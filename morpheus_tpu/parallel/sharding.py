@@ -38,38 +38,47 @@ def shard_batch(batch: dict, mesh: Mesh, axis: str = "rays") -> dict:
     return out
 
 
-def make_sharded_real_step(trainer: Trainer, mesh: Mesh, axis: str = "rays"):
-    """Jit the full real-view train step (loss → grads → Adam) with the ray
-    batch sharded over `axis`; params/opt/occ replicated. Returns
-    step(state, batch, bg_color, key, epoch) -> (state, loss)."""
-    replicated = NamedSharding(mesh, P())
+def _sharded_real_body(trainer: Trainer):
+    """The one real-view step body shared by the single-dispatch and chained
+    sharded steps: loss → grads → pending-grad fold → optimizer. Mirrors the
+    single-chip trainer._real_step_body; keeping it in one place guarantees
+    chained and unchained dp training cannot diverge."""
     curr = trainer.curr
 
-    def step(state: TrainState, batch, bg_color, key, epoch):
+    def body(st: TrainState, batch, bg_color, key, epoch):
         lr = curr.learning_rate(epoch)
         max_level = curr.max_level(epoch)
 
         def loss_fn(params):
             loss, _ = trainer.real_loss_from_batch(
-                params, state.occ, key, epoch, max_level, batch, bg_color)
+                params, st.occ, key, epoch, max_level, batch, bg_color)
             return loss
 
-        loss, grads = jax.value_and_grad(loss_fn)(state.params)
+        loss, grads = jax.value_and_grad(loss_fn)(st.params)
         # fold in carried virtual-step gradients, then clear them — mirrors
         # the single-chip real step (trainer.py _make_real_step)
-        grads = jax.tree.map(jnp.add, grads, state.pending_grads)
-        zeros = jax.tree.map(jnp.zeros_like, state.pending_grads)
+        grads = jax.tree.map(jnp.add, grads, st.pending_grads)
+        zeros = jax.tree.map(jnp.zeros_like, st.pending_grads)
         if trainer.optim_name == "adan":
-            opt_state, params = optim.adan_update(state.opt_state, grads,
-                                                  state.params, lr, 0.0)
+            opt_state, params = optim.adan_update(st.opt_state, grads,
+                                                  st.params, lr, 0.0)
         else:
-            opt_state, params = optim.adam_update(state.opt_state, grads,
-                                                  state.params, lr, 0.0)
-        new_state = TrainState(params, opt_state, state.ema, state.occ,
-                               state.global_step + 1, zeros)
+            opt_state, params = optim.adam_update(st.opt_state, grads,
+                                                  st.params, lr, 0.0)
+        new_state = TrainState(params, opt_state, st.ema, st.occ,
+                               st.global_step + 1, zeros)
         return new_state, loss
 
-    return jax.jit(step, out_shardings=(replicated, replicated))
+    return body
+
+
+def make_sharded_real_step(trainer: Trainer, mesh: Mesh, axis: str = "rays"):
+    """Jit the full real-view train step (loss → grads → Adam) with the ray
+    batch sharded over `axis`; params/opt/occ replicated. Returns
+    step(state, batch, bg_color, key, epoch) -> (state, loss)."""
+    replicated = NamedSharding(mesh, P())
+    return jax.jit(_sharded_real_body(trainer),
+                   out_shardings=(replicated, replicated))
 
 
 def make_sharded_real_steps_chained(trainer: Trainer, mesh: Mesh, n: int,
@@ -81,33 +90,14 @@ def make_sharded_real_steps_chained(trainer: Trainer, mesh: Mesh, n: int,
     the per-dispatch RPC n-fold. Returns
     steps(state, batches, bgs, key, epoch) -> (state, key, last_loss)."""
     replicated = NamedSharding(mesh, P())
-    curr = trainer.curr
+    body = _sharded_real_body(trainer)
 
     def steps(state: TrainState, batches, bgs, key, epoch):
-        lr = curr.learning_rate(epoch)
-        max_level = curr.max_level(epoch)
-
         def one(carry, xs):
             st, ky = carry
             batch, bg_color = xs
             ky, k = jax.random.split(ky)
-
-            def loss_fn(params):
-                loss, _ = trainer.real_loss_from_batch(
-                    params, st.occ, k, epoch, max_level, batch, bg_color)
-                return loss
-
-            loss, grads = jax.value_and_grad(loss_fn)(st.params)
-            grads = jax.tree.map(jnp.add, grads, st.pending_grads)
-            zeros = jax.tree.map(jnp.zeros_like, st.pending_grads)
-            if trainer.optim_name == "adan":
-                opt_state, params = optim.adan_update(st.opt_state, grads,
-                                                      st.params, lr, 0.0)
-            else:
-                opt_state, params = optim.adam_update(st.opt_state, grads,
-                                                      st.params, lr, 0.0)
-            st2 = TrainState(params, opt_state, st.ema, st.occ,
-                             st.global_step + 1, zeros)
+            st2, loss = body(st, batch, bg_color, k, epoch)
             return (st2, ky), loss
 
         (state, key), losses = jax.lax.scan(one, (state, key),

@@ -116,6 +116,29 @@ class RenderConfig:
         )
 
 
+def _smooth_subset_sel(k_perturb, valid, Bs: int, B: int):
+    """Uniform random subset of the valid compacted samples for the
+    smoothness terms (None = keep all). Random-score selection via
+    approx_max_k (exact on CPU) — the subset is random anyway."""
+    if not Bs or Bs >= B:
+        return None
+    k_sel = jax.random.fold_in(k_perturb, 7)
+    s_score = jnp.where(valid, jax.random.uniform(k_sel, (B,)), -1.0)
+    _, sel = jax.lax.approx_max_k(s_score, Bs, recall_target=0.95)
+    return sel
+
+
+def _subset5(sel, x_flat, t_flat, normals, valid, deform):
+    """Gather the 5 per-sample arrays the smoothness terms share onto the
+    subset `sel` (identity when sel is None) — one definition for both the
+    merged and non-merged branches so they cannot drift apart."""
+    if sel is None:
+        return x_flat, t_flat, normals, valid, deform
+    return (jnp.take(x_flat, sel, axis=0), jnp.take(t_flat, sel, axis=0),
+            jnp.take(normals, sel, axis=0), jnp.take(valid, sel, axis=0),
+            jnp.take(deform, sel, axis=0) if deform is not None else None)
+
+
 def render_rays(params: dict, spec: field.FieldSpec, occ_state, key,
                 rays_o, rays_d, rays_t, rays_id, rcfg: RenderConfig, *,
                 bg_color=None, ambient_ratio=1.0,
@@ -182,16 +205,9 @@ def render_rays(params: dict, spec: field.FieldSpec, occ_state, key,
     s_sel = None
     n_p = None
     if merge_smooth:
-        Bs = rcfg.smooth_budget * N
-        if rcfg.smooth_budget and Bs < B:
-            k_sel = jax.random.fold_in(k_perturb, 7)
-            s_score = jnp.where(valid, jax.random.uniform(k_sel, (B,)), -1.0)
-            # random-score selection = uniform subset of valid samples;
-            # approx_max_k (exact on CPU) since the subset is random anyway
-            _, s_sel = jax.lax.approx_max_k(s_score, Bs, recall_target=0.95)
-            x_s = jnp.take(x_flat, s_sel, axis=0)
-        else:
-            x_s = x_flat
+        s_sel = _smooth_subset_sel(k_perturb, valid,
+                                   rcfg.smooth_budget * N, B)
+        x_s = x_flat if s_sel is None else jnp.take(x_flat, s_sel, axis=0)
         xp = x_s + jax.random.normal(k_perturb, x_s.shape) \
             * rcfg.smoothness_std
         res = field.forward(
@@ -249,37 +265,18 @@ def render_rays(params: dict, spec: field.FieldSpec, occ_state, key,
             # smooth_budget subsamples the evaluation sites uniformly among
             # the valid compacted samples (unbiased estimate of the same
             # mean); all perturb terms below share the subset.
-            Bs = rcfg.smooth_budget * N
             if merge_smooth:
-                # n_p already computed inside the main forward closure
-                if s_sel is not None:
-                    x_s = jnp.take(x_flat, s_sel, axis=0)
-                    t_s = jnp.take(t_flat, s_sel, axis=0)
-                    n_s = jnp.take(normals, s_sel, axis=0)
-                    v_s = jnp.take(valid, s_sel, axis=0)
-                    d_s = (jnp.take(deform, s_sel, axis=0)
-                           if deform is not None else None)
-                else:
-                    x_s, t_s, n_s, v_s, d_s = x_flat, t_flat, normals, \
-                        valid, deform
-                # xp (the perturbed sites) is still in scope from the
-                # pre-forward block for the dormant deform_smooth branch
+                # n_p already computed inside the main forward closure;
+                # s_sel from the pre-forward block keeps both paths on the
+                # same subset. xp (the perturbed sites) is also still in
+                # scope for the dormant deform_smooth branch.
+                x_s, t_s, n_s, v_s, d_s = _subset5(
+                    s_sel, x_flat, t_flat, normals, valid, deform)
             else:
-                if rcfg.smooth_budget and Bs < B:
-                    k_sel = jax.random.fold_in(k_perturb, 7)
-                    s_score = jnp.where(valid,
-                                        jax.random.uniform(k_sel, (B,)), -1.0)
-                    _, s_sel = jax.lax.approx_max_k(s_score, Bs,
-                                                    recall_target=0.95)
-                    x_s = jnp.take(x_flat, s_sel, axis=0)
-                    t_s = jnp.take(t_flat, s_sel, axis=0)
-                    n_s = jnp.take(normals, s_sel, axis=0)
-                    v_s = jnp.take(valid, s_sel, axis=0)
-                    d_s = (jnp.take(deform, s_sel, axis=0)
-                           if deform is not None else None)
-                else:
-                    x_s, t_s, n_s, v_s, d_s = x_flat, t_flat, normals, \
-                        valid, deform
+                s_sel = _smooth_subset_sel(k_perturb, valid,
+                                           rcfg.smooth_budget * N, B)
+                x_s, t_s, n_s, v_s, d_s = _subset5(
+                    s_sel, x_flat, t_flat, normals, valid, deform)
                 if rcfg.normal_dir:
                     xp = x_s + _ortho_normal_dir(k_perturb, n_s) \
                         * rcfg.smoothness_std

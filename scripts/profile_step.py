@@ -20,18 +20,9 @@ import jax
 import jax.numpy as jnp
 
 
-BASE = {
-    "data": {"data_dir": "<synthetic>"},
-    "exp": {"seed": 0, "save_guidance": False},
-    "train": {"real_ray_num": 2048, "real_freq": 1, "n_iters": 1},
-    "model": {"bg_radius": 0.0},
-    "render": {"step_size": 0.01},
-    "tpu": {"max_samples_per_ray": 64, "march_steps": 288,
-            "occ_resolution": 128, "occ_warmup_steps": 256,
-            "occ_update_every": 16, "occ_sample_fraction": 0.0625,
-            "grad_payload": "bfloat16",
-            "sample_budget": 16, "band_budget": 4, "smooth_budget": 4},
-}
+# shared with the headline bench so the ablation split is measured at the
+# same operating point as the number of record
+from bench import BENCH_POINT_CFG as BASE  # noqa: E402
 
 VARIANTS = [
     ("base", {}),

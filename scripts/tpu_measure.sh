@@ -20,6 +20,10 @@ echo "== device trace (mxu variant) ==" | tee -a $OUT/status
 timeout 1200 python scripts/trace_step.py mxu > $OUT/trace_mxu.txt 2>&1
 echo "trace done rc=$?" | tee -a $OUT/status
 
+echo "== device trace (hist default) ==" | tee -a $OUT/status
+timeout 1200 python scripts/trace_step.py hist > $OUT/trace_hist.txt 2>&1
+echo "trace hist done rc=$?" | tee -a $OUT/status
+
 echo "== bench.py (shipped defaults) ==" | tee -a $OUT/status
 timeout 1800 python bench.py > $OUT/bench.json 2> $OUT/bench.err
 echo "bench done rc=$?" | tee -a $OUT/status
