@@ -25,10 +25,19 @@ Zero123 virtual step (UNet CFG + VAE encode + render at novel_view_scale 0.2);
 mfu is XLA's cost-analysis FLOPs over the measured step time against v5e
 bf16 peak (197 TFLOP/s) — the step is f32-dominated, so this is a lower
 bound / utilization indicator, not a kernel-level roofline.
+
+Runtime guard: cold compiles on a 1-vCPU host take minutes per jitted
+variant (the persistent cache at /tmp/jax_comp_cache makes reruns fast).
+The optional sections (SDS, bf16 SDS) are skipped once elapsed wall-clock
+exceeds BENCH_BUDGET_S (env, default 420 s) so the headline JSON always
+prints instead of an external timeout losing everything. BENCH_SDS=all
+re-enables the bf16 SDS variant; BENCH_SDS=0 skips SDS entirely.
 """
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
 
 import jax
@@ -36,6 +45,13 @@ import numpy as np
 
 BASELINE_RAYS_PER_SEC = 30000.0
 V5E_PEAK_FLOPS = 197e12  # bf16; f32 ~ half
+
+_T0 = time.perf_counter()
+
+
+def _phase(name: str) -> None:
+    print(f"bench: [{time.perf_counter() - _T0:7.1f}s] {name}",
+          file=sys.stderr, flush=True)
 
 # The bench operating point. scripts/profile_step.py imports this as its
 # ablation BASE so the cost split is always measured at the same point as
@@ -106,7 +122,9 @@ def main():
     epoch = jnp.asarray(300.0)
     state = trainer.state._replace(global_step=jnp.asarray(33000, jnp.int32))
     step_fn = trainer._make_real_step(trainer._active_levels())
+    _phase("compiling isolated real step")
     dt_iso, compile_s, state, loss = _time_steps(step_fn, state, epoch)
+    _phase("flops estimate")
     flops = _flops_estimate(step_fn, trainer.state._replace(
         global_step=jnp.asarray(33000, jnp.int32)), epoch)
 
@@ -115,6 +133,7 @@ def main():
     # morpheus.py:1415-1424), amortizing the ~10 ms/dispatch axon-tunnel RPC
     # that the isolated-step timing above pays per step
     chain_n = 10
+    _phase("compiling chained step")
     chained = trainer._make_real_steps_chained(trainer._active_levels(),
                                                n=chain_n)
     ckey = jax.random.PRNGKey(3)
@@ -131,6 +150,7 @@ def main():
     rays_per_sec = rays / dt
 
     # late-curriculum step: all 16 levels active (epoch > 0.95 * n_epochs)
+    _phase("compiling late-curriculum step")
     trainer.epoch = 1900
     epoch_late = jnp.asarray(1900.0)
     state_late = state._replace(global_step=jnp.asarray(209000, jnp.int32))
@@ -138,15 +158,24 @@ def main():
     dt_late, _, _, _ = _time_steps(step_late, state_late, epoch_late, n=16)
 
     # one full-size random-weight Zero123 SDS virtual step (no ckpt in image),
-    # timed with the f32 UNet and with guidance.compute_dtype=bfloat16 (the
-    # reference's fp16-autocast analogue)
+    # timed with the f32 UNet; BENCH_SDS=all adds guidance.compute_dtype=
+    # bfloat16 (the reference's fp16-autocast analogue). Each variant is a
+    # multi-minute cold compile on this host, so each checks the budget first.
+    budget_s = float(os.environ.get("BENCH_BUDGET_S", "420"))
+    sds_mode = os.environ.get("BENCH_SDS", "1")
     sds_ms = {}
+    sds_skipped = []
     try:
         import dataclasses
 
         from morpheus_tpu.guidance import zero123 as z123
 
         def time_sds(gspec, label):
+            if time.perf_counter() - _T0 > budget_s:
+                _phase(f"SKIP {label} (over {budget_s:.0f}s budget)")
+                sds_skipped.append(label)
+                return
+            _phase(f"compiling SDS virtual step ({label})")
             g = z123.cast_for_compute(
                 z123.Zero123Guidance.init_random(jax.random.PRNGKey(1),
                                                  gspec), gspec)
@@ -170,9 +199,11 @@ def main():
             sds_ms[label] = (time.perf_counter() - t0) / nv * 1000.0
 
         gspec = z123.Zero123Spec()
-        time_sds(gspec, "sds_step_ms")
-        time_sds(dataclasses.replace(gspec, compute_dtype="bfloat16"),
-                 "sds_step_ms_bf16")
+        if sds_mode != "0":
+            time_sds(gspec, "sds_step_ms")
+        if sds_mode == "all":
+            time_sds(dataclasses.replace(gspec, compute_dtype="bfloat16"),
+                     "sds_step_ms_bf16")
     except Exception as e:
         # SDS timing is best-effort (full-size UNet may OOM a small host),
         # but a breakage must be visible, not a silently missing field
@@ -195,6 +226,8 @@ def main():
     }
     for label, ms in sds_ms.items():
         out[label] = round(ms, 1)
+    if sds_skipped:
+        out["sds_skipped_budget"] = sds_skipped
     if flops:
         out["step_gflops"] = round(flops / 1e9, 1)
         out["mfu_vs_bf16_peak"] = round(flops / dt / V5E_PEAK_FLOPS, 4)
