@@ -20,18 +20,26 @@ axon-tunnel RPC per step). vs_baseline is rays/sec against a 30k rays/sec
 reference-GPU estimate (220k steps x ~2.2k rays in ~4.5h on A100 — the
 reference publishes no number, BASELINE.json "published": {}).
 
-Extra fields (VERDICT r1 #8): sds_step_ms times one full-size random-weight
-Zero123 virtual step (UNet CFG + VAE encode + render at novel_view_scale 0.2);
-mfu is XLA's cost-analysis FLOPs over the measured step time against v5e
-bf16 peak (197 TFLOP/s) — the step is f32-dominated, so this is a lower
-bound / utilization indicator, not a kernel-level roofline.
+Extra fields: sds_step_ms_s02 / sds_step_ms_s05 time one full-size
+random-weight Zero123 virtual step (UNet CFG + VAE encode + render) at the
+REFERENCE operating points — a 360² scene at novel_view_scale 0.2 (5,184
+rendered rays) and 0.5 (32,400 rays, the post-epoch-800 point), matching
+/root/reference/datasets/dataset.py:540-543 + configs/snoopy.yaml:5-6.
+(Rounds 1-2 reported `sds_step_ms` at a 128² scene / 625 rays; that field is
+retired — do not compare across rounds.) mfu is XLA's cost-analysis FLOPs
+over the measured step time against v5e bf16 peak (197 TFLOP/s) — the step
+is f32-dominated, so this is a lower bound / utilization indicator, not a
+kernel-level roofline.
 
 Runtime guard: cold compiles on a 1-vCPU host take minutes per jitted
 variant (the persistent cache at /tmp/jax_comp_cache makes reruns fast).
-The optional sections (SDS, bf16 SDS) are skipped once elapsed wall-clock
-exceeds BENCH_BUDGET_S (env, default 420 s) so the headline JSON always
-prints instead of an external timeout losing everything. BENCH_SDS=all
-re-enables the bf16 SDS variant; BENCH_SDS=0 skips SDS entirely.
+The headline JSON is printed BEFORE the optional SDS sections and re-printed
+(superset, same schema) at the end, so an external timeout mid-SDS-compile
+never loses the headline. Each SDS variant also checks elapsed wall-clock
+against BENCH_BUDGET_S (env, default 900 s) before starting. BENCH_SDS=all
+adds the bf16-UNet variant; BENCH_SDS=0 skips SDS entirely. Skips are
+recorded in sds_skipped as {label: reason} so a missing field is always
+distinguishable from a deliberate skip.
 """
 from __future__ import annotations
 
@@ -157,32 +165,64 @@ def main():
     step_late = trainer._make_real_step(trainer._active_levels())
     dt_late, _, _, _ = _time_steps(step_late, state_late, epoch_late, n=16)
 
-    # one full-size random-weight Zero123 SDS virtual step (no ckpt in image),
-    # timed with the f32 UNet; BENCH_SDS=all adds guidance.compute_dtype=
-    # bfloat16 (the reference's fp16-autocast analogue). Each variant is a
-    # multi-minute cold compile on this host, so each checks the budget first.
-    budget_s = float(os.environ.get("BENCH_BUDGET_S", "420"))
+    out = {
+        "metric": "rays_per_sec_per_chip",
+        "value": round(rays_per_sec, 1),
+        "unit": "rays/s",
+        "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 3),
+        "steps_per_sec": round(1.0 / dt, 2),
+        "rays_per_sec_isolated": round(rays / dt_iso, 1),
+        "rays_per_sec_late": round(rays / dt_late, 1),
+        "compile_s": round(compile_s, 1),
+        "device": str(jax.devices()[0]),
+        "loss": float(loss),
+    }
+    if flops:
+        out["step_gflops"] = round(flops / 1e9, 1)
+        out["mfu_vs_bf16_peak"] = round(flops / dt / V5E_PEAK_FLOPS, 4)
+    # headline prints FIRST so an external timeout during the (multi-minute)
+    # SDS compiles below can never lose the whole run; the final print below
+    # re-emits a superset with the SDS fields (consumers take the last line)
+    print(json.dumps(out), flush=True)
+
+    # full-size random-weight Zero123 SDS virtual steps (no ckpt in image) at
+    # the REFERENCE ray counts: 360² scene, novel_view_scale 0.2 → 5,184 rays
+    # and 0.5 → 32,400 rays (datasets/dataset.py:540-543, snoopy.yaml:5-6).
+    # BENCH_SDS=all adds guidance.compute_dtype=bfloat16 (the reference's
+    # fp16-autocast analogue). Each variant is a multi-minute cold compile on
+    # this host, so each checks the budget first.
+    try:
+        budget_s = float(os.environ.get("BENCH_BUDGET_S", "900"))
+    except ValueError:
+        print("bench: malformed BENCH_BUDGET_S, using 900", file=sys.stderr)
+        budget_s = 900.0
     sds_mode = os.environ.get("BENCH_SDS", "1")
     sds_ms = {}
-    sds_skipped = []
+    sds_skipped = {}
     try:
         import dataclasses
 
         from morpheus_tpu.guidance import zero123 as z123
 
-        def time_sds(gspec, label):
+        scene_v = make_synthetic_scene(num_frames=8, H=360, W=360)
+        ds_v = data_lib.DeformDataset(cfg, scene=scene_v)
+
+        def time_sds(gspec, label, scale):
+            if sds_mode == "0":
+                sds_skipped[label] = "BENCH_SDS=0"
+                return
             if time.perf_counter() - _T0 > budget_s:
                 _phase(f"SKIP {label} (over {budget_s:.0f}s budget)")
-                sds_skipped.append(label)
+                sds_skipped[label] = f"over {budget_s:.0f}s budget"
                 return
             _phase(f"compiling SDS virtual step ({label})")
             g = z123.cast_for_compute(
                 z123.Zero123Guidance.init_random(jax.random.PRNGKey(1),
                                                  gspec), gspec)
-            trainer_v = Trainer(cfg, ds, guidance=g, guidance_spec=gspec)
+            trainer_v = Trainer(cfg, ds_v, guidance=g, guidance_spec=gspec)
             trainer_v.epoch = 300
             vstep = trainer_v._virtual_step_for_scale(
-                0.2, trainer_v._active_levels())
+                scale, trainer_v._active_levels())
             st = trainer_v.state._replace(
                 global_step=jnp.asarray(33001, jnp.int32))
             key = jax.random.PRNGKey(2)
@@ -199,38 +239,23 @@ def main():
             sds_ms[label] = (time.perf_counter() - t0) / nv * 1000.0
 
         gspec = z123.Zero123Spec()
-        if sds_mode != "0":
-            time_sds(gspec, "sds_step_ms")
+        time_sds(gspec, "sds_step_ms_s02", 0.2)
+        time_sds(gspec, "sds_step_ms_s05", 0.5)
         if sds_mode == "all":
             time_sds(dataclasses.replace(gspec, compute_dtype="bfloat16"),
-                     "sds_step_ms_bf16")
+                     "sds_step_ms_bf16_s02", 0.2)
     except Exception as e:
         # SDS timing is best-effort (full-size UNet may OOM a small host),
         # but a breakage must be visible, not a silently missing field
-        import sys
         import traceback
         print(f"bench: SDS timing failed: {e!r}", file=sys.stderr)
         traceback.print_exc()
+        sds_skipped.setdefault("sds", f"failed: {e!r}")
 
-    out = {
-        "metric": "rays_per_sec_per_chip",
-        "value": round(rays_per_sec, 1),
-        "unit": "rays/s",
-        "vs_baseline": round(rays_per_sec / BASELINE_RAYS_PER_SEC, 3),
-        "steps_per_sec": round(1.0 / dt, 2),
-        "rays_per_sec_isolated": round(rays / dt_iso, 1),
-        "rays_per_sec_late": round(rays / dt_late, 1),
-        "compile_s": round(compile_s, 1),
-        "device": str(jax.devices()[0]),
-        "loss": float(loss),
-    }
     for label, ms in sds_ms.items():
         out[label] = round(ms, 1)
     if sds_skipped:
-        out["sds_skipped_budget"] = sds_skipped
-    if flops:
-        out["step_gflops"] = round(flops / 1e9, 1)
-        out["mfu_vs_bf16_peak"] = round(flops / dt / V5E_PEAK_FLOPS, 4)
+        out["sds_skipped"] = sds_skipped
     print(json.dumps(out))
 
 

@@ -176,6 +176,13 @@ DEFAULTS: dict[str, dict[str, Any]] = {
                                      # coverage for fs_loss (ADVICE r1 #4)
         "occ_ema_decay": 0.95,
         "occ_threshold": 0.01,
+        "occ_query_interp": "nearest",  # hash interp for occ density queries:
+                                     # 'nearest' = single rounded corner (8x
+                                     # fewer gathered rows; one update ~6 ms
+                                     # vs ~45 ms on v5e) — the EMA grid's
+                                     # binarization can't resolve sub-cell
+                                     # lerp detail; 'linear' = exact reference
+                                     # semantics (morpheus.py:196-202)
         "compute_dtype": "float32",  # 'bfloat16' enables the mixed policy
         "grad_payload": "float32",   # 'bfloat16' sorts hash-grid cotangents
                                      # as 16-bit payloads (reference AMP fp16

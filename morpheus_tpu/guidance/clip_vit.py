@@ -50,8 +50,8 @@ class CLIPBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         x = x + CLIPAttention(self.heads, name="attn")(
-            nn.LayerNorm(name="ln_1")(x))
-        h = nn.LayerNorm(name="ln_2")(x)
+            nn.LayerNorm(epsilon=1e-5, name="ln_1")(x))
+        h = nn.LayerNorm(epsilon=1e-5, name="ln_2")(x)
         h = nn.Dense(self.mlp_dim, name="mlp_fc")(h)
         h = quick_gelu(h)
         h = nn.Dense(x.shape[-1], name="mlp_proj")(h)
@@ -83,11 +83,11 @@ class CLIPVisionTransformer(nn.Module):
         pos = self.param("positional_embedding",
                          nn.initializers.normal(0.02), (n_tok, self.width))
         h = h + pos
-        h = nn.LayerNorm(name="ln_pre")(h)
+        h = nn.LayerNorm(epsilon=1e-5, name="ln_pre")(h)
         for i in range(self.layers):
             h = CLIPBlock(self.heads, self.width * 4,
                           name=f"resblock_{i}")(h)
-        h = nn.LayerNorm(name="ln_post")(h[:, 0])
+        h = nn.LayerNorm(epsilon=1e-5, name="ln_post")(h[:, 0])
         proj = self.param("proj", nn.initializers.normal(0.02),
                           (self.width, self.out_dim))
         return h @ proj

@@ -116,10 +116,10 @@ class BasicTransformerBlock(nn.Module):
     @nn.compact
     def __call__(self, x, context):
         x = x + CrossAttention(self.heads, self.dim_head, name="attn1")(
-            nn.LayerNorm(name="norm1")(x))
+            nn.LayerNorm(epsilon=1e-5, name="norm1")(x))
         x = x + CrossAttention(self.heads, self.dim_head, name="attn2")(
-            nn.LayerNorm(name="norm2")(x), context)
-        x = x + FeedForward(name="ff")(nn.LayerNorm(name="norm3")(x))
+            nn.LayerNorm(epsilon=1e-5, name="norm2")(x), context)
+        x = x + FeedForward(name="ff")(nn.LayerNorm(epsilon=1e-5, name="norm3")(x))
         return x
 
 

@@ -153,6 +153,30 @@ def take_sorted_pallas_rows(emb: jnp.ndarray, idx: jnp.ndarray,
         idx, emb)
 
 
+def _level_groups(sizes: Sequence[int]) -> list:
+    """Partition the (nondecreasing) per-level table sizes into contiguous
+    groups, each padded to its own max, minimizing total histogram cost
+    Σ_groups n_levels_g * t_hi_g (the one-hot matmul width is the group's
+    padded size — one global max makes every dense level pay the 2^15-slot
+    hashed-level width). Small DP; a per-group constant bounds the number of
+    pallas_call launches."""
+    L = len(sizes)
+    t_hi = [ (max(s, 128) + 127) // 128 for s in sizes ]
+    best = [None] * (L + 1)
+    best[0] = (0, -1)                       # (cost, split point)
+    for hi in range(1, L + 1):
+        for lo in range(hi):
+            c = best[lo][0] + (hi - lo) * t_hi[hi - 1] + 16
+            if best[hi] is None or c < best[hi][0]:
+                best[hi] = (c, lo)
+    groups, hi = [], L
+    while hi > 0:
+        lo = best[hi][1]
+        groups.append((lo, hi))
+        hi = lo
+    return groups[::-1]
+
+
 def take_hist_rows(emb: jnp.ndarray, idx: jnp.ndarray,
                    offsets: Sequence[int], n_levels: int,
                    payload_dtype=None) -> jnp.ndarray:
@@ -164,8 +188,11 @@ def take_hist_rows(emb: jnp.ndarray, idx: jnp.ndarray,
     idx (L*K*P,) with level l in rows [l*K*P, (l+1)*K*P) and values within
     [offsets[l], offsets[l+1]). Local indices are bounded by the hashmap size
     (<= 2^15), which is what makes the dense factored one-hot affordable.
-    linear_call nesting keeps arbitrary-order AD (transpose of the transpose
-    is the gather again — normals differentiate through this twice)."""
+    Levels are grouped by table size (_level_groups) so dense coarse levels
+    don't pay the hashed levels' 2^15-slot one-hot width — 23% less hist
+    MXU work at the bench point. linear_call nesting keeps arbitrary-order AD
+    (transpose of the transpose is the gather again — normals differentiate
+    through this twice)."""
     from .hist_pallas import level_histogram
 
     C = emb.shape[1]
@@ -173,7 +200,7 @@ def take_hist_rows(emb: jnp.ndarray, idx: jnp.ndarray,
     L = n_levels
     Np = N // L
     sizes = [offsets[l + 1] - offsets[l] for l in range(L)]
-    t_pad = max(sizes)
+    groups = _level_groups(sizes)
     offs = jnp.asarray(np.asarray(offsets[:L], np.int32).reshape(L, 1))
     interpret = _pallas_interpret()
     idx = idx.astype(jnp.int32)
@@ -183,9 +210,14 @@ def take_hist_rows(emb: jnp.ndarray, idx: jnp.ndarray,
         vals = tuple(ct[:, c].reshape(L, Np) if payload_dtype is None
                      else ct[:, c].reshape(L, Np).astype(payload_dtype)
                      for c in range(C))
-        out = level_histogram(il, vals, t_pad, interpret=interpret)
-        chans = [jnp.concatenate([out[c, l, :sizes[l]] for l in range(L)])
-                 for c in range(C)]
+        outs = [level_histogram(il[lo:hi],
+                                tuple(v[lo:hi] for v in vals),
+                                max(sizes[lo:hi]), interpret=interpret)
+                for lo, hi in groups]                    # (C, hi-lo, t_pad_g)
+        chans = [jnp.concatenate(
+            [out[c, l - lo, :sizes[l]]
+             for (lo, hi), out in zip(groups, outs) for l in range(lo, hi)])
+            for c in range(C)]
         acc = jnp.stack(chans, -1).astype(ct.dtype)      # (offsets[L], C)
         if acc.shape[0] < emb.shape[0]:   # statically-truncated levels: zeros
             acc = jnp.pad(acc, ((0, emb.shape[0] - acc.shape[0]), (0, 0)))
@@ -336,7 +368,11 @@ class HashGridSpec:
     desired_resolution: int | None = None
     gridtype: str = "hash"        # 'hash' | 'tiled'
     align_corners: bool = False
-    interpolation: str = "linear"  # 'linear' | 'smoothstep'
+    # 'linear' | 'smoothstep' (gridencoder.cu:143-159) | 'nearest' (TPU-only
+    # addition: single rounded corner, no lerp — 8x fewer gathered rows; used
+    # for the occupancy-grid density queries where the EMA binarization
+    # cannot resolve sub-cell detail anyway, tpu.occ_query_interp)
+    interpolation: str = "linear"
     # embedding-cotangent path:
     #   'hist_rows' (default): row-gather forward (149M rows/s on v5e vs 108M
     #       scalar-gathers/s flat) + SORT-FREE per-level one-hot-matmul
@@ -362,6 +398,16 @@ class HashGridSpec:
     # 'bfloat16'); bf16 halves sort payload traffic (reference AMP fp16-grad
     # precedent); accumulation stays f32 (tpu.grad_payload)
     grad_payload: str = "float32"
+    # oct-packed gathers for DENSE levels (res^D <= table size, i.e. no hash
+    # wrap): the 2^D corner rows of a cell sit at base + {0,1}·1 + {0,1}·res +
+    # {0,1}·res² — one (2^D·C)-wide row of a shifted-concat packed table
+    # replaces 2^D separate row gathers (v5e row gathers are transaction-
+    # bound, so rows/site drop 8x for the coarse levels). Backward
+    # accumulates the packed cotangent through the same one-hot histogram
+    # (2^D·C channels) and un-shifts via the pack's own transpose. Exact —
+    # clamped border corners carry zero lerp weight, so wrapped packed rows
+    # never contribute. hist_rows mode only.
+    pack_dense: bool = True
 
     def __post_init__(self):
         if self.desired_resolution is not None:
@@ -462,7 +508,7 @@ def encode(inputs: jnp.ndarray, embeddings: jnp.ndarray, spec: HashGridSpec,
     L_full = spec.num_levels
     L = L_full if active_levels is None else max(1, min(L_full,
                                                         int(active_levels)))
-    n_corners = 1 << D
+    n_corners = 1 if spec.interpolation == "nearest" else (1 << D)
 
     if max_level is None:
         active = None
@@ -470,10 +516,68 @@ def encode(inputs: jnp.ndarray, embeddings: jnp.ndarray, spec: HashGridSpec,
         active = jnp.clip(jnp.ceil(jnp.asarray(max_level) * L_full)
                           .astype(jnp.int32), 1, L_full)
 
-    # build indices/weights for all levels & corners, then ONE batched gather
-    # (single take + single segment-sum cotangent instead of L*2^D of each)
+    # dense packed prefix: levels whose full lattice fits the table (no hash,
+    # no modulo wrap) gather ONE (2^D*C)-wide packed row per site instead of
+    # 2^D rows (see HashGridSpec.pack_dense)
+    k_pack = 0
+    if (spec.pack_dense and spec.vjp_mode == "hist_rows"
+            and spec.interpolation != "nearest"):
+        while (k_pack < L and resolutions[k_pack] ** D
+               <= offsets[k_pack + 1] - offsets[k_pack]):
+            k_pack += 1
+
+    base_all, wp_all, pack_tabs, pack_offs = [], [], [], [0]
+    for level in range(k_pack):
+        res = resolutions[level]
+        size_l = offsets[level + 1] - offsets[level]
+        if spec.align_corners:
+            pos = x * float(res - 1)
+            grid0 = jnp.clip(jnp.floor(pos), 0, res - 2)
+        else:
+            pos = jnp.clip(x * float(res) - 0.5, 0.0, float(res - 1))
+            grid0 = jnp.floor(pos)
+        frac = pos - grid0
+        if spec.interpolation == "smoothstep":
+            frac = frac * frac * (3.0 - 2.0 * frac)
+        grid0 = grid0.astype(jnp.uint32)
+
+        strides = [res ** d for d in range(D)]
+        base = jnp.zeros((P,), jnp.uint32)
+        for d in range(D):
+            base = base + grid0[..., d] * jnp.uint32(strides[d])
+        base_all.append(base.astype(jnp.int32) + pack_offs[-1])
+
+        e_l = embeddings[offsets[level]:offsets[level + 1]]
+        tabs, ws = [], []
+        for corner in range(n_corners):
+            off = sum(((corner >> d) & 1) * strides[d] for d in range(D))
+            # wrapped rows only back zero-weight clamped corners (see spec)
+            tabs.append(jnp.roll(e_l, -off, axis=0))
+            w = jnp.ones((P,), dtype=x.dtype)
+            for d in range(D):
+                f = frac[..., d]
+                w = w * (f if (corner >> d) & 1 else (1.0 - f))
+            ws.append(w)
+        pack_tabs.append(jnp.concatenate(tabs, axis=1))   # (size_l, 2^D*C)
+        wp_all.append(jnp.stack(ws, 0))                   # (2^D, P)
+        pack_offs.append(pack_offs[-1] + size_l)
+
+    out_packed = None
+    if k_pack:
+        C = embeddings.shape[1]
+        emb_packed = jnp.concatenate(pack_tabs, axis=0)   # (S, 2^D*C)
+        idxp = jnp.concatenate(base_all, 0)               # (k*P,)
+        pd = jnp.bfloat16 if spec.grad_payload == "bfloat16" else None
+        featsp = take_hist_rows(emb_packed, idxp, tuple(pack_offs), k_pack,
+                                payload_dtype=pd)         # (k*P, 2^D*C)
+        featsp = featsp.reshape(k_pack, P, n_corners, C)
+        wp = jnp.stack(wp_all, 0)                         # (k, 2^D, P)
+        out_packed = jnp.einsum("kpnc,knp->kpc", featsp, wp)  # (k, P, C)
+
+    # build indices/weights for remaining levels & corners, then ONE batched
+    # gather (single take + single segment-sum cotangent per stream)
     idx_all, w_all = [], []
-    for level in range(L):
+    for level in range(k_pack, L):
         res = resolutions[level]
         hashmap_size = offsets[level + 1] - offsets[level]
         if spec.align_corners:
@@ -482,6 +586,13 @@ def encode(inputs: jnp.ndarray, embeddings: jnp.ndarray, spec: HashGridSpec,
         else:
             pos = jnp.clip(x * float(res) - 0.5, 0.0, float(res - 1))
             grid0 = jnp.floor(pos)
+        if spec.interpolation == "nearest":
+            # single rounded corner, weight 1 (no lerp; occ-query fast path)
+            cg = jnp.clip(jnp.round(pos), 0, res - 1).astype(jnp.uint32)
+            idx = _corner_index(spec, cg, res, hashmap_size) + offsets[level]
+            idx_all.append(idx)
+            w_all.append(jnp.ones((P,), dtype=x.dtype))
+            continue
         frac = pos - grid0
         if spec.interpolation == "smoothstep":
             frac = frac * frac * (3.0 - 2.0 * frac)
@@ -502,28 +613,37 @@ def encode(inputs: jnp.ndarray, embeddings: jnp.ndarray, spec: HashGridSpec,
             idx_all.append(idx)
             w_all.append(w[..., 0])
 
-    idx = jnp.stack(idx_all, 0).reshape(L * n_corners * P)      # (L*8*P,)
-    w = jnp.stack(w_all, 0)                                     # (L*8, P)
+    L_u = L - k_pack
+    if L_u:
+        idx = jnp.stack(idx_all, 0).reshape(L_u * n_corners * P)  # (Lu*8*P,)
+        w = jnp.stack(w_all, 0)                                   # (Lu*8, P)
 
-    if spec.vjp_mode == "sort":
-        feats = take_accumulating(embeddings, idx)              # (L*8*P, C)
-    elif spec.vjp_mode == "level_scatter":
-        feats = take_level_scatter(embeddings, idx, offsets)
-    elif spec.vjp_mode == "sort_pallas":
-        feats = take_sorted_pallas(embeddings, idx)
-    elif spec.vjp_mode == "sort_pallas_rows":
-        pd = jnp.bfloat16 if spec.grad_payload == "bfloat16" else None
-        feats = take_sorted_pallas_rows(embeddings, idx, payload_dtype=pd)
-    elif spec.vjp_mode == "hist_rows":
-        pd = jnp.bfloat16 if spec.grad_payload == "bfloat16" else None
-        feats = take_hist_rows(embeddings, idx, offsets, L, payload_dtype=pd)
-    elif spec.vjp_mode == "mxu_rows":
-        pd = jnp.bfloat16 if spec.grad_payload == "bfloat16" else None
-        feats = take_mxu_rows(embeddings, idx, offsets, L, payload_dtype=pd)
-    else:
-        feats = jnp.take(embeddings, idx, axis=0)
-    feats = feats.reshape(L, n_corners, P, spec.level_dim)
-    out_l = jnp.sum(w.reshape(L, n_corners, P, 1) * feats, axis=1)  # (L,P,C)
+        if spec.vjp_mode == "sort":
+            feats = take_accumulating(embeddings, idx)          # (Lu*8*P, C)
+        elif spec.vjp_mode == "level_scatter":
+            feats = take_level_scatter(embeddings, idx, offsets)
+        elif spec.vjp_mode == "sort_pallas":
+            feats = take_sorted_pallas(embeddings, idx)
+        elif spec.vjp_mode == "sort_pallas_rows":
+            pd = jnp.bfloat16 if spec.grad_payload == "bfloat16" else None
+            feats = take_sorted_pallas_rows(embeddings, idx, payload_dtype=pd)
+        elif spec.vjp_mode == "hist_rows":
+            # packed prefix handled above: gather the hashed tail against the
+            # sliced table (the slice's transpose pads the cotangent back)
+            pd = jnp.bfloat16 if spec.grad_payload == "bfloat16" else None
+            off0 = offsets[k_pack]
+            offs_sub = tuple(o - off0 for o in offsets[k_pack:L + 1])
+            feats = take_hist_rows(embeddings[off0:], idx - off0, offs_sub,
+                                   L_u, payload_dtype=pd)
+        elif spec.vjp_mode == "mxu_rows":
+            pd = jnp.bfloat16 if spec.grad_payload == "bfloat16" else None
+            feats = take_mxu_rows(embeddings, idx, offsets, L, payload_dtype=pd)
+        else:
+            feats = jnp.take(embeddings, idx, axis=0)
+        feats = feats.reshape(L_u, n_corners, P, spec.level_dim)
+        out_u = jnp.sum(w.reshape(L_u, n_corners, P, 1) * feats, axis=1)
+    out_l = (out_packed if not L_u else out_u if not k_pack
+             else jnp.concatenate([out_packed, out_u], 0))     # (L, P, C)
 
     if active is not None:
         level_ids = jax.lax.broadcasted_iota(jnp.int32, (L, 1, 1), 0)

@@ -56,7 +56,7 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _kernel(idx_ref, val_ref, out_ref, *, n_chan: int, t_hi: int):
+def _kernel(idx_ref, val_ref, out_ref, *, n_chan: int, t_hi: int, blk: int):
     b = pl.program_id(1)
 
     @pl.when(b == 0)
@@ -70,9 +70,9 @@ def _kernel(idx_ref, val_ref, out_ref, *, n_chan: int, t_hi: int):
     hp = jnp.bfloat16 if vals.dtype == jnp.bfloat16 else jnp.float32
     prec = (None if hp == jnp.bfloat16 else jax.lax.Precision.HIGHEST)
 
-    lanes_hi = jax.lax.broadcasted_iota(jnp.int32, (BLK, t_hi), 1)
+    lanes_hi = jax.lax.broadcasted_iota(jnp.int32, (blk, t_hi), 1)
     a = (hi[:, None] == lanes_hi).astype(hp)               # (BLK, T_hi)
-    lanes_lo = jax.lax.broadcasted_iota(jnp.int32, (BLK, WIN), 1)
+    lanes_lo = jax.lax.broadcasted_iota(jnp.int32, (blk, WIN), 1)
     lo_oh = lo[:, None] == lanes_lo                        # (BLK, WIN) bool
     # minor-dim insertion ((BLK,) -> (BLK, 1)) is only a no-op for 32-bit
     # types on Mosaic — broadcast in f32, round to the compute dtype after
@@ -87,6 +87,13 @@ def _kernel(idx_ref, val_ref, out_ref, *, n_chan: int, t_hi: int):
     out_ref[0] += contrib
 
 
+def _blk_for(n_chan: int) -> int:
+    """Block size bounded by the kernel's VMEM intermediates: bv is
+    (BLK, WIN*n_chan) f32 — cap it at ~4 MB so wide packed-corner payloads
+    (n_chan = 8*level_dim after dense-level oct-packing) still fit."""
+    return max(256, min(BLK, (1 << 20) // (WIN * n_chan) * 4))
+
+
 @functools.partial(jax.jit, static_argnames=("t_pad", "interpret"))
 def level_histogram(idx_local: jnp.ndarray, vals: tuple, t_pad: int,
                     interpret: bool = False) -> jnp.ndarray:
@@ -96,8 +103,9 @@ def level_histogram(idx_local: jnp.ndarray, vals: tuple, t_pad: int,
     n_chan = len(vals)
     t_pad = _round_up(max(t_pad, WIN), WIN)
     t_hi = t_pad // WIN
+    blk = _blk_for(n_chan)
 
-    np_pad = _round_up(Np, BLK)
+    np_pad = _round_up(Np, blk)
     pad = np_pad - Np
     idx = idx_local.astype(jnp.int32)
     bf = all(v.dtype == jnp.bfloat16 for v in vals)
@@ -110,15 +118,15 @@ def level_histogram(idx_local: jnp.ndarray, vals: tuple, t_pad: int,
     idx_flat = idx.reshape(L * np_pad)
     val_flat = jnp.stack([v.reshape(L * np_pad) for v in cols], 0)  # (C, L*Np)
 
-    nb = np_pad // BLK
+    nb = np_pad // blk
     out = pl.pallas_call(
-        functools.partial(_kernel, n_chan=n_chan, t_hi=t_hi),
+        functools.partial(_kernel, n_chan=n_chan, t_hi=t_hi, blk=blk),
         out_shape=jax.ShapeDtypeStruct((L, t_hi, WIN * n_chan), jnp.float32),
         grid=(L, nb),
         in_specs=[
-            pl.BlockSpec((BLK,), lambda l, b: (l * nb + b,),
+            pl.BlockSpec((blk,), lambda l, b: (l * nb + b,),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((n_chan, BLK), lambda l, b: (0, l * nb + b),
+            pl.BlockSpec((n_chan, blk), lambda l, b: (0, l * nb + b),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, t_hi, WIN * n_chan), lambda l, b: (l, 0, 0),

@@ -80,6 +80,16 @@ class Trainer:
             compute_dtype=config["tpu"].get("compute_dtype", "float32"))
         self.rcfg = renderer.RenderConfig.from_config(config, dataset.num_frames,
                                                       self.bound)
+        # occupancy density queries: nearest-corner hash lookup (8x fewer
+        # gathered rows; the EMA grid's binarization at occ_resolution can't
+        # resolve sub-cell lerp detail). One occ update at the bench point is
+        # ~45 ms of gather with lerp vs ~6 ms nearest (v5e device trace,
+        # round 3). tpu.occ_query_interp: 'nearest' (default) | 'linear'
+        # (exact reference NeRFAcc semantics, morpheus.py:196-202,905-913).
+        import dataclasses as _dc
+        occ_interp = config["tpu"].get("occ_query_interp", "nearest")
+        self.occ_spec = (self.spec if occ_interp == "linear" else _dc.replace(
+            self.spec, grid=_dc.replace(grid, interpolation=occ_interp)))
         self.data = dataset.device_data(scale=config["data"]["known_view_scale"])
 
         self.key, k_init = jax.random.split(self.key)
@@ -124,6 +134,11 @@ class Trainer:
 
     def _occ_density_fn(self, params, t_scalar, spec=None):
         spec = spec or self.spec
+        if spec.grid.interpolation != self.occ_spec.grid.interpolation:
+            import dataclasses as _dc
+            spec = _dc.replace(spec, grid=_dc.replace(
+                spec.grid,
+                interpolation=self.occ_spec.grid.interpolation))
 
         def one(x):
             return field.query_density(params, spec, x, t=t_scalar,

@@ -33,6 +33,7 @@ VARIANTS = [
     # sampled EMA update never fires — base minus this = amortized occ cost
     ("occ_off", {"tpu": {"occ_update_every": 1 << 30}}),
     ("occ_32", {"tpu": {"occ_update_every": 32}}),
+    ("occ_linear", {"tpu": {"occ_query_interp": "linear"}}),
     # late-curriculum point (all 16 hash levels active)
     ("late", {"_epoch": 1900}),
     ("late_hist", {"_epoch": 1900, "tpu": {"vjp_mode": "hist_rows"}}),

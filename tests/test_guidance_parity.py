@@ -28,7 +28,12 @@ def _import_ldm():
     """Import the vendored ldm modules with stubs for heavyweight deps that
     module-scope imports pull in but the parity paths never execute."""
     if "torchvision" not in sys.modules:
-        sys.modules["torchvision"] = types.ModuleType("torchvision")
+        tv = types.ModuleType("torchvision")
+        # transformers probes importlib.util.find_spec("torchvision"), which
+        # raises on a spec-less stub module — give it a real (loader-less) spec
+        import importlib.machinery
+        tv.__spec__ = importlib.machinery.ModuleSpec("torchvision", None)
+        sys.modules["torchvision"] = tv
     if "pytorch_lightning" not in sys.modules:
         plm = types.ModuleType("pytorch_lightning")
         plm.LightningModule = torch.nn.Module

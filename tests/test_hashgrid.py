@@ -248,3 +248,49 @@ def test_take_mxu_rows_matches_take(payload):
     tol = dict(rtol=1e-5, atol=1e-5) if pd is None else \
         dict(rtol=2e-2, atol=2e-2)
     np.testing.assert_allclose(np.asarray(g_new), np.asarray(g_ref), **tol)
+
+
+@pytest.mark.parametrize("align,interp", [(False, "linear"), (True, "linear"),
+                                          (False, "smoothstep")])
+def test_pack_dense_matches_unpacked(align, interp):
+    """Oct-packed dense-level gathers (pack_dense) must be exact vs the
+    unpacked path — values, emb/input grads, and second order — including at
+    lattice borders where the +1 corners clamp (their lerp weight is zero, so
+    the packed table's wrapped rows must never leak through)."""
+    import dataclasses
+    spec_p = HashGridSpec(input_dim=3, num_levels=6, level_dim=2,
+                          base_resolution=4, log2_hashmap_size=10,
+                          desired_resolution=24, vjp_mode="hist_rows",
+                          align_corners=align, interpolation=interp)
+    spec_u = dataclasses.replace(spec_p, pack_dense=False)
+    # dense prefix: res 4..24 with 1024-slot tables -> several packed levels
+    assert any(r ** 3 <= 2 ** 10 for r in spec_p.resolutions)
+    key = jax.random.PRNGKey(5)
+    emb = init_embeddings(key, spec_p) * 1e4
+    # include exact border/vertex points (clamped corners) + random interior
+    xs = [jax.random.uniform(key, (251, 3), minval=-1.0, maxval=1.0),
+          jnp.array([[1.0, 1.0, 1.0], [-1.0, -1.0, -1.0], [1.0, -1.0, 0.0]])]
+    x = jnp.concatenate(xs, 0)
+
+    def f(spec_):
+        return lambda e, xx: jnp.sum(
+            jnp.sin(encode(xx, e, spec_, bound=1.0)) ** 2)
+
+    np.testing.assert_allclose(np.asarray(f(spec_p)(emb, x)),
+                               np.asarray(f(spec_u)(emb, x)), rtol=1e-6)
+    gp = jax.grad(f(spec_p), argnums=(0, 1))(emb, x)
+    gu = jax.grad(f(spec_u), argnums=(0, 1))(emb, x)
+    for a, b in zip(gp, gu):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-5, atol=1e-6)
+
+    def g2(spec_):
+        def f2(e):
+            n = jax.grad(lambda xx: jnp.sum(encode(xx, e, spec_,
+                                                   bound=1.0)))(x)
+            return jnp.sum(n ** 2)
+        return f2
+
+    np.testing.assert_allclose(np.asarray(jax.grad(g2(spec_p))(emb)),
+                               np.asarray(jax.grad(g2(spec_u))(emb)),
+                               rtol=2e-5, atol=1e-6)

@@ -189,6 +189,133 @@ def test_sds_moves_geometry_toward_target(tiny_spec, tiny_guidance,
     assert p1 < p0, (p0, p1)              # pixels too
 
 
+def test_sds_gradient_through_real_vae_encoder(tiny_spec, tiny_guidance,
+                                               monkeypatch):
+    """SDS efficacy THROUGH the real conv VAE encoder (VERDICT r2 #6): only
+    apply_unet is idealized (point-mass score at a target latent); the
+    differentiable path render → resize → REAL conv encode stays intact —
+    this is the actual gradient chain of the reference's SDS
+    (zero123_utils.py:157-158: the VAE encode carries the SDS gradient).
+    vae_encode_sample is made deterministic (posterior mean, real conv) so
+    the check isn't dominated by the random-init VAE's ~1-std posterior
+    noise; the encoder Jacobian the gradient flows through is unchanged.
+
+    With the ideal ε̂ the construction is exact: ε̂ − ε =
+    √ac/√(1−ac)·(z − z_target) — the sampled noise cancels — so the SDS
+    gradient IS c(t)·∇‖z − z_target‖² with c > 0. Two assertions:
+    (a) image level: ∇_img sds_loss is parallel (cos > 0.999) to
+        ∇_img ‖sf·encode(img) − z_target‖² — the conv-encoder VJP chain
+        inside the production sds_loss;
+    (b) field level: one explicit small gradient step of the production
+        virtual loss (trainer.virtual_loss_from_batch on a FIXED batch/key,
+        regularizer weights zeroed) strictly decreases the latent distance
+        of that same rendered view, re-measured through the same chain.
+    An N-step Adam optimization is deliberately NOT asserted here: with a
+    random-init encoder the latent geometry is ill-conditioned and Adam's
+    normalized steps overshoot — the descent property at small step size is
+    the sound invariant (the linear-encode test above covers the long-run
+    trainer dynamics)."""
+    cfg = merge_defaults({
+        "data": {"data_dir": "<synthetic>", "novel_view_scale": 0.5},
+        "exp": {"seed": 0, "save_guidance": False},
+        "train": {"n_epochs": 40, "warm_up_end": 4, "warm_up_steps": 0,
+                  "real_ray_num": 64, "real_freq": 0, "virtual_freq": 1,
+                  "n_iters": 1, "freeze_epoch": 1000, "kf_every": 2,
+                  "normal_smoothness": 0.0, "normal_smooth_3d": 0.0,
+                  "ori_weight": 0.0, "beta_weight": 0.0, "code_reg": 0.0},
+        "model": {"bg_radius": 0.0, "grid_num_levels": 4,
+                  "grid_log2_hashmap_size": 10, "grid_desired_resolution": 32},
+        "guidance": {"zero123_grad_weight": 2.0},
+        "render": {"step_size": 0.04},
+        "tpu": {"max_samples_per_ray": 16, "march_steps": 64,
+                "occ_resolution": 16, "occ_warmup_steps": 8,
+                "occ_update_every": 4},
+    })
+    scene = make_synthetic_scene(num_frames=4, H=32, W=32)
+    ds = data_lib.DeformDataset(cfg, scene=scene)
+    S = tiny_spec.image_size
+    sf = tiny_spec.scale_factor
+
+    real_encode_mode = z123.vae_encode_mode  # bind before patching
+    zs = []   # stash: eager (non-jit) forwards append the CONCRETE latent
+
+    def det_encode(g, key, img, spec=None):
+        z = sf * real_encode_mode(g, img, spec or tiny_spec)
+        zs.append(z)
+        return z
+
+    monkeypatch.setattr(z123, "vae_encode_sample", det_encode)
+
+    # target latent: the real conv encode of a large dark disk on white
+    yy, xx = np.mgrid[0:S, 0:S]
+    disk = ((yy - S / 2) ** 2 + (xx - S / 2) ** 2) < (0.42 * S) ** 2
+    target = np.where(disk[..., None], 0.2, 1.0).astype(np.float32)
+    target = jnp.asarray(np.broadcast_to(target, (S, S, 3)))[None]
+    z_target = sf * real_encode_mode(tiny_guidance, target, tiny_spec)
+
+    def ideal_unet(g, x, t, context, spec=None):
+        ac = g.alphas_cumprod[t].reshape(-1, 1, 1, 1)
+        zt = jnp.broadcast_to(z_target, (x.shape[0],) + z_target.shape[1:])
+        return (x[..., :4] - jnp.sqrt(ac) * zt) / jnp.sqrt(1.0 - ac)
+
+    monkeypatch.setattr(z123, "apply_unet", ideal_unet)
+    tr = Trainer(cfg, ds, guidance=tiny_guidance, guidance_spec=tiny_spec)
+
+    # ---- (a) production sds_loss image-gradient ∥ latent-distance gradient
+    img0 = jax.random.uniform(jax.random.PRNGKey(9), (1, S, S, 3))
+    cc = jnp.zeros((1, 1, tiny_spec.context_dim))
+    lat_hw = z_target.shape[1]
+    cv = jnp.zeros((1, lat_hw, lat_hw, 4))
+
+    def f_sds(im):
+        loss, _, _, _ = z123.sds_loss(
+            tiny_guidance, jax.random.PRNGKey(3), im, cc, cv,
+            jnp.asarray(10.0), jnp.asarray(20.0), jnp.asarray(0.0),
+            jnp.asarray(500), jnp.asarray(500), grad_scale=1.0,
+            spec=tiny_spec)
+        return loss
+
+    def f_dist(im):
+        z = sf * real_encode_mode(tiny_guidance, im, tiny_spec)
+        return jnp.sum((z - z_target) ** 2)
+
+    g1 = np.asarray(jax.grad(f_sds)(img0)).ravel()
+    g2 = np.asarray(jax.grad(f_dist)(img0)).ravel()
+    cos = float(g1 @ g2 / (np.linalg.norm(g1) * np.linalg.norm(g2)))
+    assert cos > 0.999, cos
+
+    # ---- (b) small-step descent through the full production virtual loss
+    sampler = data_lib.VirtualViewSampler(ds, cfg, 0.5)
+    batch = sampler.sample(jax.random.PRNGKey(123))
+    KEY = jax.random.PRNGKey(7)
+    occ = tr.state.occ
+
+    def loss_fn(params):
+        loss, _ = tr.virtual_loss_from_batch(
+            params, occ, KEY, 1.0, None, batch, sampler.H, sampler.W)
+        return loss
+
+    def dist_at(params):
+        zs.clear()
+        loss_fn(params)             # eager: det_encode stashes the latent
+        assert zs, "vae_encode_sample not reached"
+        return float(jnp.sum((zs[0] - z_target) ** 2))
+
+    d0 = dist_at(tr.state.params)
+    grads = jax.grad(loss_fn)(tr.state.params)
+    zs.clear()
+    gnorm = float(jnp.sqrt(sum(jnp.sum(g ** 2)
+                               for g in jax.tree.leaves(grads))))
+    assert np.isfinite(gnorm) and gnorm > 0
+    descended = []
+    for eta in [3e-3, 1e-3, 3e-4, 1e-4]:
+        p_new = jax.tree.map(lambda p, g: p - (eta / gnorm) * g,
+                             tr.state.params, grads)
+        descended.append(dist_at(p_new))
+    # a descent direction must reduce the latent distance at SOME small step
+    assert min(descended) < d0 * (1.0 - 1e-4), (d0, descended)
+
+
 def test_angle_grad_scale_zero_at_reference_view():
     s = z123.angle_grad_scale(jnp.asarray(0.0), jnp.asarray(0.0),
                               jnp.asarray(0.0), 90.0, 0.0, 3.0, 1.0)

@@ -106,7 +106,7 @@ def test_chained_steps_match_unchained():
     same program but XLA fuses it differently, so last-ulp f32 differences
     are expected)."""
     def run(chain):
-        cfg = _micro_cfg(real_freq=3, n_iters=2)
+        cfg = _micro_cfg(real_freq=3, n_iters=1)
         cfg["tpu"]["chain_steps"] = chain
         scene = make_synthetic_scene(num_frames=2, H=12, W=12)
         ds = data_lib.DeformDataset(cfg, scene=scene)
@@ -116,7 +116,7 @@ def test_chained_steps_match_unchained():
         return tr
 
     a, b = run(True), run(False)
-    assert int(a.state.global_step) == int(b.state.global_step) == 6
+    assert int(a.state.global_step) == int(b.state.global_step) == 3
     np.testing.assert_array_equal(np.asarray(a.key), np.asarray(b.key))
     for x, y in zip(jax.tree.leaves(a.state.params),
                     jax.tree.leaves(b.state.params)):
