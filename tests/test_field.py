@@ -110,10 +110,12 @@ def test_forward_jits_with_traced_shading(small_spec, params):
     assert c1.shape == c2.shape == (4, 3)
 
 
+@pytest.mark.slow
 def test_bf16_compute_policy_loss_parity(small_spec):
     """tpu.compute_dtype=bfloat16 runs MLPs in bf16 (f32 accumulation) —
     field outputs must track the f32 path within bf16 tolerance and keep
-    f32 output dtypes (master weights stay f32)."""
+    f32 output dtypes (master weights stay f32). Slow tier: non-default
+    policy (shipped configs run f32 compute), compile-heavy on CPU."""
     import dataclasses
     spec32 = small_spec
     spec16 = dataclasses.replace(spec32, compute_dtype="bfloat16")

@@ -99,8 +99,10 @@ def test_timestep_embedding_layout():
 
 @pytest.fixture(scope="module")
 def small_vae():
-    m = vae.AutoencoderKL()
-    # tiny spatial size keeps CPU time low; full channel config
+    # real depth ((1,2,4,4) x 2 blocks — the shape-determining structure),
+    # tiny spatial size and base width to keep the CPU init cheap; full-width
+    # numerics live in test_guidance_parity.py / test_zero123_real_scale.py
+    m = vae.AutoencoderKL(ch=32)
     params = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))["params"]
     return m, params
 
@@ -124,10 +126,13 @@ def _flax_to_torch_sd(params, prefix, fmt):
     raise NotImplementedError
 
 
+@pytest.mark.slow
 def test_convert_unet_roundtrip():
     """Build a synthetic torch-style state dict with the ldm naming for a
     small UNet, convert it, and check it initializes our flax module
-    exactly (catches name/topology drift in the converter)."""
+    exactly (catches name/topology drift in the converter). Slow tier: the
+    fast tier already covers converter numerics via
+    test_guidance_parity.py::test_unet_matches_reference_torch."""
     cm = (1, 2)
     nrb = 2
     attn_ds = (1, 2)

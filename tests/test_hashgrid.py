@@ -132,8 +132,9 @@ def test_offsets_match_reference_formula():
         assert offs[i + 1] - offs[i] == n
 
 
-@pytest.mark.parametrize("mode", ["sort_pallas", "sort_pallas_rows",
-                                  "hist_rows", "mxu_rows", "sort"])
+@pytest.mark.parametrize("mode", [
+    pytest.param("sort_pallas", marks=pytest.mark.slow),  # legacy non-default
+    "sort_pallas_rows", "hist_rows", "mxu_rows", "sort"])
 def test_vjp_modes_match_scatter(mode):
     """All embedding-cotangent paths must agree with plain XLA scatter on
     values, embedding grads, input grads, and grad-of-grad (normals
@@ -181,9 +182,12 @@ def test_vjp_modes_match_scatter(mode):
                                rtol=rtol, atol=atol)
 
 
+@pytest.mark.slow
 def test_static_active_levels_matches_traced_mask():
     """encode(active_levels=k) must equal encode with the traced max_level
-    mask alone — truncated levels are zero-filled either way."""
+    mask alone — truncated levels are zero-filled either way. Slow tier:
+    pure numerics-equivalence sweep (the fast train-loop smokes exercise
+    active-levels in situ)."""
     spec = HashGridSpec(input_dim=3, num_levels=8, level_dim=2,
                         base_resolution=4, log2_hashmap_size=8,
                         desired_resolution=64)

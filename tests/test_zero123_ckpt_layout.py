@@ -10,7 +10,13 @@ encoders/modules.py:343-383, text transformer deleted), cc_projection
 (ddpm.py:526-529), the DDPM schedule buffers (ddpm.py:145-165,520) and LitEma's
 dot-stripped model_ema.* flattening — then asserts conversion consumes every
 key (strict) and that the converted trees match the flax modules' expected
-structure exactly (via jax.eval_shape on module.init)."""
+structure exactly (via jax.eval_shape on module.init).
+
+Shape-only / fast complement: tests/test_zero123_real_scale.py composes the
+same layout from the state_dicts of ACTUALLY INSTANTIATED reference torch
+modules at the shipped yaml's scale and adds forward parity — the
+authoritative check that this hand-built inventory can no longer drift from
+the real one."""
 import numpy as np
 import pytest
 
