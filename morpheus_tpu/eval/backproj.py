@@ -63,6 +63,12 @@ def write_backproj_meshes(scene: dict, out_dir: str,
     directory usable as a dataset data_dir for eval_mesh."""
     mesh_dir = os.path.join(out_dir, "mesh")
     os.makedirs(mesh_dir, exist_ok=True)
+    n = len(scene["depths"])
+    # deterministic function of the scene — skip the (minutes-long on 1 vCPU)
+    # regeneration when a crash-resumed run already wrote every frame
+    if all(os.path.exists(os.path.join(mesh_dir, f"backproj_{i}.ply"))
+           for i in range(n)):
+        return out_dir
     K = np.asarray(scene["K"], np.float64)
     for i in range(len(scene["depths"])):
         v, f = backproject_mesh(np.asarray(scene["depths"][i]),
