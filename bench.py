@@ -101,9 +101,10 @@ def _flops_estimate(step_fn, state, epoch):
         ca = comp.cost_analysis()
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
-        return float(ca.get("flops", 0.0))
+        return (float(ca.get("flops", 0.0)),
+                float(ca.get("bytes accessed", 0.0)))
     except Exception:
-        return 0.0
+        return 0.0, 0.0
 
 
 def main():
@@ -133,7 +134,7 @@ def main():
     _phase("compiling isolated real step")
     dt_iso, compile_s, state, loss = _time_steps(step_fn, state, epoch)
     _phase("flops estimate")
-    flops = _flops_estimate(step_fn, trainer.state._replace(
+    flops, hbm_bytes = _flops_estimate(step_fn, trainer.state._replace(
         global_step=jnp.asarray(33000, jnp.int32)), epoch)
 
     # primary number: the shipped training path — tpu.chain_steps (default on)
@@ -180,6 +181,12 @@ def main():
     if flops:
         out["step_gflops"] = round(flops / 1e9, 1)
         out["mfu_vs_bf16_peak"] = round(flops / dt / V5E_PEAK_FLOPS, 4)
+    if hbm_bytes:
+        # XLA cost-analysis 'bytes accessed' over the amortized step time:
+        # achieved HBM bandwidth vs the v5e ~819 GB/s peak — the binding
+        # roofline axis for this gather-dominated workload (PARITY.md)
+        out["hbm_gbps"] = round(hbm_bytes / dt / 1e9, 1)
+        out["hbm_util_vs_peak"] = round(hbm_bytes / dt / 819e9, 3)
     # headline prints FIRST so an external timeout during the (multi-minute)
     # SDS compiles below can never lose the whole run; the final print below
     # re-emits a superset with the SDS fields (consumers take the last line)

@@ -168,7 +168,11 @@ def main(argv=None):
                     if m:
                         cands.append((int(m.group(1)), old))
                 cands.sort()
-                for ep, old in cands[:-1]:
+                # keep the TWO newest dense ckpts: if the newest turns out
+                # poisoned (e.g. a NaN observed mid-interval before the
+                # grad-skip guard existed), the rollback is one interval,
+                # not all the way back to the last mesh_all_interval ckpt
+                for ep, old in cands[:-2]:
                     if ep % ci == 0 and ep % exp["mesh_all_interval"] != 0 \
                             and ep != max_epochs:
                         os.remove(old)

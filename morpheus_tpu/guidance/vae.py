@@ -107,10 +107,14 @@ class AutoencoderKL(nn.Module):
     (autoencoder.py:285-330)."""
     embed_dim: int = 4
     ch: int = 128
+    ch_mult: Sequence[int] = (1, 2, 4, 4)
+    num_res_blocks: int = 2
 
     def setup(self):
-        self.encoder = Encoder(ch=self.ch)
-        self.decoder = Decoder(ch=self.ch)
+        self.encoder = Encoder(ch=self.ch, ch_mult=self.ch_mult,
+                               num_res_blocks=self.num_res_blocks)
+        self.decoder = Decoder(ch=self.ch, ch_mult=self.ch_mult,
+                               num_res_blocks=self.num_res_blocks)
         self.quant_conv = nn.Conv(2 * self.embed_dim, (1, 1),
                                   name="quant_conv")
         self.post_quant_conv = nn.Conv(self.embed_dim, (1, 1),

@@ -37,6 +37,10 @@ class Zero123Spec:
     clip_heads: int = 16
     clip_patch: int = 14
     vae_ch: int = 128
+    # VAE depth (tests shrink these; real Zero123 = (1,2,4,4) x 2 blocks).
+    # Latent side = image_size / 2^(len(vae_mult)-1).
+    vae_mult: tuple = (1, 2, 4, 4)
+    vae_res_blocks: int = 2
     # UNet compute dtype (guidance.compute_dtype). 'bfloat16' casts the frozen
     # UNet's params + activations for the ε-prediction only — the analogue of
     # the reference's fp16 autocast over the LDM forward (zero123_utils.py
@@ -88,7 +92,8 @@ class Zero123Spec:
             out_dim=self.context_dim)
 
     def vae_module(self):
-        return vae.AutoencoderKL(ch=self.vae_ch)
+        return vae.AutoencoderKL(ch=self.vae_ch, ch_mult=self.vae_mult,
+                                 num_res_blocks=self.vae_res_blocks)
 
 
 class Zero123Guidance(NamedTuple):

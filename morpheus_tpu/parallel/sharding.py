@@ -65,6 +65,10 @@ def _sharded_real_body(trainer: Trainer):
         else:
             opt_state, params = optim.adam_update(st.opt_state, grads,
                                                   st.params, lr, 0.0)
+        # GradScaler-parity skip, mirroring trainer._real_step_body
+        ok = trainer._grads_finite(grads)
+        params = trainer._select_state(ok, params, st.params)
+        opt_state = trainer._select_state(ok, opt_state, st.opt_state)
         new_state = TrainState(params, opt_state, st.ema, st.occ,
                                st.global_step + 1, zeros)
         return new_state, loss
@@ -184,6 +188,10 @@ def make_sharded_virtual_step(trainer: Trainer, mesh: Mesh,
             out_specs=(P(), P(), P(axis)), check_vma=False)(
                 state.params, state.occ, guidance, embeddings, batch, key)
         grads = jax.tree.map(lambda a: a / vf, grads)
+        # GradScaler-parity skip, mirroring trainer._make_virtual_step
+        ok = trainer._grads_finite(grads)
+        grads = trainer._select_state(
+            ok, grads, jax.tree.map(jnp.zeros_like, grads))
 
         # same freeze semantics as the single-chip virtual step: apply now
         # with deform groups frozen, or carry grads into the next real step
@@ -194,6 +202,8 @@ def make_sharded_virtual_step(trainer: Trainer, mesh: Mesh,
             else:
                 os_, p_ = optim.adam_update(state.opt_state, grads,
                                             state.params, lr, 1.0)
+            os_ = trainer._select_state(ok, os_, state.opt_state)
+            p_ = trainer._select_state(ok, p_, state.params)
             return os_, p_, jax.tree.map(jnp.zeros_like, grads)
 
         def carry(_):

@@ -337,6 +337,22 @@ class Trainer:
 
         return real_steps
 
+    @staticmethod
+    def _grads_finite(grads):
+        """True iff every gradient leaf is finite — the skip predicate of the
+        reference's AMP GradScaler (morpheus.py:1404-1423: scaler.step skips
+        the optimizer update when grads carry inf/NaN, which is what keeps a
+        single pathological SDS/render sample from poisoning the whole state;
+        observed on v5e: one non-finite virtual-step grad at epoch ~600 NaN'd
+        params+opt_state+occ within a step before this guard existed)."""
+        return jnp.all(jnp.array([jnp.all(jnp.isfinite(g))
+                                  for g in jax.tree.leaves(grads)]))
+
+    @staticmethod
+    def _select_state(ok, new, old):
+        """Per-leaf select between two pytrees (ok is a traced bool)."""
+        return jax.tree.map(lambda a, b: jnp.where(ok, a, b), new, old)
+
     def _real_step_body(self, active_levels=None):
         curr = self.curr
         spec = self._spec_for_levels(active_levels)
@@ -367,6 +383,12 @@ class Trainer:
             else:
                 opt_state, params = optim.adam_update(
                     state.opt_state, grads, state.params, lr, 0.0)
+            # GradScaler-parity skip: a non-finite grad anywhere keeps the
+            # whole update out (params AND optimizer moments), like the
+            # reference's scaler.step; the carried grads are dropped too
+            ok = self._grads_finite(grads)
+            params = self._select_state(ok, params, state.params)
+            opt_state = self._select_state(ok, opt_state, state.opt_state)
             return TrainState(params, opt_state, state.ema, occ,
                               step + 1, zeros), loss
 
@@ -560,6 +582,11 @@ class Trainer:
             (loss, diag), grads = jax.value_and_grad(loss_fn, has_aux=True)(
                 state.params)
             grads = jax.tree.map(lambda a: a / vf, grads)
+            # GradScaler-parity skip (see _grads_finite): a non-finite SDS
+            # grad neither steps the optimizer nor enters the pending carry
+            ok = self._grads_finite(grads)
+            grads = self._select_state(
+                ok, grads, jax.tree.map(jnp.zeros_like, grads))
 
             # freeze active: optimizer step now with deform groups frozen;
             # else: carry gradients into the next real step
@@ -570,6 +597,8 @@ class Trainer:
                 else:
                     os_, p_ = optim.adam_update(state.opt_state, grads,
                                                 state.params, lr, 1.0)
+                os_ = self._select_state(ok, os_, state.opt_state)
+                p_ = self._select_state(ok, p_, state.params)
                 return os_, p_, jax.tree.map(jnp.zeros_like, grads)
 
             def carry(_):

@@ -79,10 +79,12 @@ def test_virtual_sds_step_smoke():
     """One SDS virtual step (render → VAE → UNet CFG → grad) with a micro
     random-weight Zero123 in the default tier."""
     from morpheus_tpu.guidance import zero123 as z123
-    spec = z123.Zero123Spec(image_size=32, unet_channels=32, unet_mult=(1, 2),
+    # shallow VAE ((1,2)x1 vs the real (1,2,4,4)x2) with image_size chosen to
+    # keep the latent at 8x8 — a 4x smaller XLA graph with identical structure
+    spec = z123.Zero123Spec(image_size=16, unet_channels=32, unet_mult=(1, 2),
                             unet_heads=2, context_dim=16, clip_width=32,
                             clip_layers=1, clip_heads=2, clip_patch=14,
-                            vae_ch=32)
+                            vae_ch=32, vae_mult=(1, 2), vae_res_blocks=1)
     g = z123.Zero123Guidance.init_random(jax.random.PRNGKey(0), spec)
     cfg = _micro_cfg(virtual_freq=1, real_freq=0, warm_up_steps=0,
                      freeze_epoch=100)
@@ -122,3 +124,46 @@ def test_chained_steps_match_unchained():
                     jax.tree.leaves(b.state.params)):
         np.testing.assert_allclose(np.asarray(x), np.asarray(y),
                                    rtol=1e-3, atol=1e-7)
+
+
+def test_nonfinite_grads_skip_update():
+    """GradScaler-parity NaN guard: a step whose gradients carry NaN/inf must
+    leave params AND optimizer moments bitwise untouched (the reference's
+    scaler.step skip, morpheus.py:1404-1423) while still advancing
+    global_step. Observed without this on v5e: one non-finite virtual-step
+    gradient at epoch ~600 of the full-budget run poisoned the entire state
+    within a single step."""
+    cfg = _micro_cfg()
+    scene = make_synthetic_scene(num_frames=2, H=12, W=12)
+    ds = data_lib.DeformDataset(cfg, scene=scene)
+    tr = Trainer(cfg, ds)
+
+    orig = tr._real_loss
+
+    def poisoned_loss(params, occ, key, epoch, max_level, spec):
+        loss, out = orig(params, occ, key, epoch, max_level, spec)
+        # sqrt of a negative DEPENDING ON loss → NaN in value AND in the
+        # gradient (adding a nan constant would leave gradients finite)
+        return loss + 0.0 * jnp.sqrt(loss - 1e9), out
+
+    tr._real_loss = poisoned_loss
+    step = tr._make_real_step(None)
+    new_state, loss = step(tr.state, jax.random.PRNGKey(0), jnp.asarray(1.0))
+    assert not np.isfinite(float(loss))
+    for a, b in zip(jax.tree.leaves(new_state.params),
+                    jax.tree.leaves(tr.state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    for a, b in zip(jax.tree.leaves(new_state.opt_state),
+                    jax.tree.leaves(tr.state.opt_state)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(new_state.global_step) == int(tr.state.global_step) + 1
+
+    # and a clean step still updates
+    tr._real_loss = orig
+    step2 = tr._make_real_step(None)
+    st2, loss2 = step2(tr.state, jax.random.PRNGKey(0), jnp.asarray(1.0))
+    assert np.isfinite(float(loss2))
+    moved = sum(float(np.abs(np.asarray(a) - np.asarray(b)).max())
+                for a, b in zip(jax.tree.leaves(st2.params),
+                                jax.tree.leaves(tr.state.params)))
+    assert moved > 0
