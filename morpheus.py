@@ -16,6 +16,24 @@ import threading
 import time
 
 
+def _hbm_note() -> str:
+    """Device-memory snapshot for the epoch log line (diagnosing HBM
+    headroom around curriculum transitions; backends without memory_stats —
+    e.g. CPU — log nothing)."""
+    try:
+        import jax
+        st = jax.local_devices()[0].memory_stats()
+        if not st or "bytes_in_use" not in st:
+            return ""
+        gib = 1 << 30
+        peak = st.get("peak_bytes_in_use", 0)
+        return (f" hbm={st['bytes_in_use'] / gib:.2f}"
+                f"/{st.get('bytes_limit', 0) / gib:.2f}GiB"
+                f" peak={peak / gib:.2f}")
+    except Exception:
+        return ""
+
+
 def main(argv=None):
     from morpheus_tpu.config import dump_config, parse_cli
     from morpheus_tpu.data.dataset import DeformDataset
@@ -141,7 +159,7 @@ def main(argv=None):
         loss = trainer.train_one_epoch()
         if epoch % 10 == 0 or epoch == 1:
             log(f"epoch {epoch}/{max_epochs} loss={loss:.4f} "
-                f"({time.time() - t0:.2f}s)")
+                f"({time.time() - t0:.2f}s){_hbm_note()}")
 
         # periodic checkpoint (every mesh_all_interval epochs) + final;
         # exp.ckpt_interval adds a denser cadence for preemption-prone runs

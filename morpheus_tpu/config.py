@@ -201,6 +201,15 @@ DEFAULTS: dict[str, dict[str, Any]] = {
                                      # replays the unchained loop's exact
                                      # RNG/step sequence (params match to
                                      # compile noise)
+        "remat_virtual": True,       # jax.checkpoint the virtual-step render
+                                     # and the VAE encode (the two activation
+                                     # holders on the SDS gradient path; the
+                                     # UNet is stop-gradded). Exact; trades
+                                     # one recomputed forward for the saved
+                                     # activations, which at the late
+                                     # curriculum (scale 0.5 = 32,400 rays)
+                                     # otherwise OOM v5e HBM next to the
+                                     # ~5 GB f32 Zero123 weights
     },
 }
 

@@ -242,14 +242,22 @@ def sds_loss(g: Zero123Guidance, key: jax.Array, pred_rgb_256: jnp.ndarray,
              polar, azimuth, radius,
              min_step, max_step, *,
              guidance_scale: float = 5.0, grad_scale: float = 1.0,
-             spec: Zero123Spec = Zero123Spec()):
+             spec: Zero123Spec = Zero123Spec(), remat: bool = True):
     """One SDS step. pred_rgb_256: (1, 256, 256, 3) in [0,1] (differentiable);
     c_crossattn (1, 1, 768), c_concat (1, 32, 32, 4) from the reference view;
     polar/azimuth/radius: Δ view angles (deg/deg/units); min/max_step traced.
-    Returns (loss, t, noise)."""
+    Returns (loss, t, noise). remat: recompute the VAE encoder forward during
+    the backward instead of saving its conv activations — the encoder is the
+    only guidance module the SDS gradient flows through (the UNet below is
+    stop-gradded, zero123_utils.py:157-158), and its saved activations are
+    ~1 GB at 256² that compete with the resident full-scale weights for HBM;
+    the recompute is one cheap encoder forward. Exact."""
     k_enc, k_t, k_noise = jax.random.split(key, 3)
 
-    latents = vae_encode_sample(g, k_enc, pred_rgb_256, spec)   # (1,32,32,4)
+    enc = vae_encode_sample
+    if remat:
+        enc = jax.checkpoint(vae_encode_sample, static_argnums=(3,))
+    latents = enc(g, k_enc, pred_rgb_256, spec)                 # (1,32,32,4)
     t = jax.random.randint(k_t, (1,), min_step, max_step + 1)
     noise = jax.random.normal(k_noise, latents.shape)
     latents_noisy = schedule.add_noise(g.alphas_cumprod, latents, noise, t)

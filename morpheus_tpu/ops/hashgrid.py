@@ -201,11 +201,17 @@ def take_hist_rows(emb: jnp.ndarray, idx: jnp.ndarray,
     Np = N // L
     sizes = [offsets[l + 1] - offsets[l] for l in range(L)]
     groups = _level_groups(sizes)
-    offs = jnp.asarray(np.asarray(offsets[:L], np.int32).reshape(L, 1))
+    offs_np = np.asarray(offsets[:L], np.int32).reshape(L, 1)
     interpret = _pallas_interpret()
     idx = idx.astype(jnp.int32)
 
     def _hist(i, ct):
+        # constants must be materialized INSIDE the transpose closure: a
+        # jnp array created in the enclosing trace and captured here leaks
+        # that trace's tracer when the transpose is re-evaluated in a
+        # different trace (observed under jax.checkpoint of the virtual
+        # step: UnexpectedTracerError on the remat backward replay)
+        offs = jnp.asarray(offs_np)
         il = i.reshape(L, Np) - offs                     # local per level
         vals = tuple(ct[:, c].reshape(L, Np) if payload_dtype is None
                      else ct[:, c].reshape(L, Np).astype(payload_dtype)
@@ -309,8 +315,10 @@ def take_level_scatter(emb: jnp.ndarray, idx: jnp.ndarray,
     sizes = [offsets[l + 1] - offsets[l] for l in range(L)]
     t_pad = max(sizes)
     # per-level channel-major offsets; all arrays stay strictly 1-D (or have a
-    # large trailing dim) so nothing hits the 2→128 lane-padding trap
-    offs_arr = jnp.asarray(offsets[:-1], jnp.uint32)
+    # large trailing dim) so nothing hits the 2→128 lane-padding trap.
+    # Kept as numpy here — converted inside _scatter_levels so the transpose
+    # closure never captures another trace's constant tracer (see take_hist_rows)
+    offs_np = np.asarray(offsets[:-1], np.uint32)
 
     emb_cm = emb.T.reshape(-1)                           # channel-major (C*T,)
     idx_u = idx.astype(jnp.uint32)
@@ -318,6 +326,7 @@ def take_level_scatter(emb: jnp.ndarray, idx: jnp.ndarray,
                             for c in range(C)], axis=0)  # (C*N,) block layout
 
     def _scatter_levels(i, ct):
+        offs_arr = jnp.asarray(offs_np)
         # regroup (C*N,) block layout into per-level streams of size C*B:
         # level l rows = {c*N + l*B ... c*N + (l+1)*B} for each channel c
         idx_l = jnp.stack([

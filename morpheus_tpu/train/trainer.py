@@ -189,12 +189,19 @@ class Trainer:
         return jax.lax.cond(step % tpu["occ_update_every"] == 0, do_update,
                             lambda o: o, occ)
 
-    def _real_loss(self, params, occ, key, epoch, max_level, spec=None):
+    def _real_loss(self, params, data, occ, key, epoch, max_level, spec=None):
         """Real-view loss (reference: train_step(real_view=True) path,
-        morpheus.py:1147-1212)."""
+        morpheus.py:1147-1212). `data` is the device dataset dict, passed as
+        a traced jit ARGUMENT (not closure-captured): a closed-over device
+        array is inlined as an MLIR constant, which (a) duplicates ~100 MB of
+        dataset into every compiled step variant's HBM footprint and (b)
+        requires a device→host fetch at trace time — observed to die with
+        RESOURCE_EXHAUSTED at the epoch-800 curriculum transition of the
+        full-budget v5e run, when the full-scale Zero123 weights (~5 GB)
+        plus the freshly compiled scale-0.5 virtual step left no headroom."""
         tr = self.config["train"]
         k_s, k_bg, k_r = jax.random.split(key, 3)
-        batch = data_lib.sample_real_view_rays(k_s, self.data,
+        batch = data_lib.sample_real_view_rays(k_s, data,
                                                self.dataset.num_frames,
                                                tr["real_ray_num"])
         if tr["real_view_noise"] > 0:
@@ -309,7 +316,19 @@ class Trainer:
         return dataclasses.replace(self.spec, active_levels=active_levels)
 
     def _make_real_step(self, active_levels=None):
-        return jax.jit(self._real_step_body(active_levels))
+        """Jitted single real step with the dataset bound as a traced
+        argument (see _real_loss on why it must not be a closure constant).
+        The returned callable keeps the historical (state, key, epoch)
+        surface; .lower is forwarded for HLO/cost inspection."""
+        jitted = jax.jit(self._real_step_body(active_levels))
+        data = self.data
+
+        def step(state, key, epoch):
+            return jitted(state, data, key, epoch)
+
+        step.lower = lambda state, key, epoch: jitted.lower(state, data, key,
+                                                            epoch)
+        return step
 
     def _make_real_steps_chained(self, active_levels=None, n: int = 10):
         """n consecutive real steps in ONE jitted lax.scan. Over the axon
@@ -324,18 +343,19 @@ class Trainer:
         body = self._real_step_body(active_levels)
 
         @jax.jit
-        def real_steps(state: TrainState, key, epoch):
+        def real_steps(state: TrainState, data, key, epoch):
             def one(carry, _):
                 st, ky = carry
                 ky, k = jax.random.split(ky)
-                st, loss = body(st, k, epoch)
+                st, loss = body(st, data, k, epoch)
                 return (st, ky), loss
 
             (state, key), losses = jax.lax.scan(one, (state, key), None,
                                                 length=n)
             return state, key, losses[-1]
 
-        return real_steps
+        data = self.data
+        return lambda state, key, epoch: real_steps(state, data, key, epoch)
 
     @staticmethod
     def _grads_finite(grads):
@@ -357,7 +377,7 @@ class Trainer:
         curr = self.curr
         spec = self._spec_for_levels(active_levels)
 
-        def real_step(state: TrainState, key, epoch):
+        def real_step(state: TrainState, data, key, epoch):
             step = state.global_step
             lr = curr.learning_rate(epoch)
             max_level = curr.max_level(epoch)
@@ -368,7 +388,7 @@ class Trainer:
                                          t_occ, spec)
 
             def loss_fn(params):
-                loss, out = self._real_loss(params, occ, k_loss, epoch,
+                loss, out = self._real_loss(params, data, occ, k_loss, epoch,
                                             max_level, spec)
                 return loss, out
 
@@ -502,12 +522,28 @@ class Trainer:
         else:
             bg_color = rand_bg
 
-        out = renderer.render_rays(
-            params, spec, occ, k_r,
-            batch["rays_o"], batch["rays_d"], batch["rays_t"], batch["rays_id"],
-            self.rcfg, bg_color=bg_color, ambient_ratio=ambient,
-            shading_id=shading_id, real_view=False, optimize_pose=False,
-            max_level=max_level, train=True)
+        def _render(params, occ, k_r, bg_color, ambient, shading_id,
+                    max_level):
+            return renderer.render_rays(
+                params, spec, occ, k_r,
+                batch["rays_o"], batch["rays_d"], batch["rays_t"],
+                batch["rays_id"],
+                self.rcfg, bg_color=bg_color, ambient_ratio=ambient,
+                shading_id=shading_id, real_view=False, optimize_pose=False,
+                max_level=max_level, train=True)
+
+        # exact rematerialization of the virtual render: at the late-
+        # curriculum operating point (scale 0.5 → 32,400 rays) the render
+        # backward's saved activations plus the resident full-scale Zero123
+        # weights (~5 GB f32) exceed v5e HBM (observed RESOURCE_EXHAUSTED at
+        # the epoch-800 transition of the full-budget run); recomputing the
+        # render forward during the backward trades one forward (~15% of the
+        # SDS step) for the whole activation set. Bit-exact (remat replays
+        # the same ops/keys).
+        if cfg["tpu"].get("remat_virtual", True):
+            _render = jax.checkpoint(_render)
+        out = _render(params, occ, k_r, bg_color, ambient, shading_id,
+                      max_level)
 
         pred = jnp.clip(out["image"].reshape(1, H, W, 3), 0.0, 1.0)
         gsz = self.guidance_spec.image_size
@@ -542,7 +578,8 @@ class Trainer:
             emb["c_crossattn"][slot][None], emb["c_concat"][slot][None],
             polar_k, azim_k, rad_k, min_step, max_step,
             guidance_scale=gd["zero123_guidance_scale"], grad_scale=gs,
-            spec=self.guidance_spec)
+            spec=self.guidance_spec,
+            remat=cfg["tpu"].get("remat_virtual", True))
         if cfg["exp"]["save_guidance"]:
             out["sds_diag"] = dict(diag, pred_rgb=pred256)
 
@@ -763,6 +800,20 @@ class Trainer:
         self.state = self._jit_cache["ema"](self.state)
         return float(loss)
 
+    def _evict_stale_variants(self, keep: set):
+        """Drop jitted step variants for curriculum points the run has moved
+        past (superseded active-level sets / novel-view scales). A loaded TPU
+        executable holds HBM for its program and any captured buffers for as
+        long as we keep a reference; with the full-scale Zero123 weights
+        (~5 GB f32) resident on a 16 GB v5e, dead variants are headroom the
+        epoch-800 scale transition needs (observed RESOURCE_EXHAUSTED there
+        on the full-budget run)."""
+        for k in list(self._jit_cache):
+            if k in keep:
+                continue
+            if k.startswith(("real_", "virtual_", "dp_virtual_")):
+                del self._jit_cache[k]
+
     def train_one_epoch(self, n_iters: int | None = None):
         tr = self.config["train"]
         n_iters = n_iters or tr.get("n_iters", 10)
@@ -770,6 +821,9 @@ class Trainer:
             return self._train_one_epoch_dp(n_iters)
         al = self._active_levels()
         rkey = f"real_{al}"
+        self._evict_stale_variants(
+            {rkey, f"real_chain_{al}_{int(tr['real_freq'])}",
+             f"virtual_{self._novel_view_scale()}_{al}"})
         if rkey not in self._jit_cache:
             self._jit_cache[rkey] = self._make_real_step(al)
         if "ema" not in self._jit_cache:

@@ -140,8 +140,8 @@ def test_nonfinite_grads_skip_update():
 
     orig = tr._real_loss
 
-    def poisoned_loss(params, occ, key, epoch, max_level, spec):
-        loss, out = orig(params, occ, key, epoch, max_level, spec)
+    def poisoned_loss(params, data, occ, key, epoch, max_level, spec):
+        loss, out = orig(params, data, occ, key, epoch, max_level, spec)
         # sqrt of a negative DEPENDING ON loss → NaN in value AND in the
         # gradient (adding a nan constant would leave gradients finite)
         return loss + 0.0 * jnp.sqrt(loss - 1e9), out
