@@ -184,6 +184,12 @@ DEFAULTS: dict[str, dict[str, Any]] = {
                                      # lerp detail; 'linear' = exact reference
                                      # semantics (morpheus.py:196-202)
         "compute_dtype": "float32",  # 'bfloat16' enables the mixed policy
+                                     # (bf16 MLP matmuls AND bf16 table
+                                     # gathers — the latter measured +25 ms
+                                     # on v5e, PARITY.md)
+        "mlp_dtype": "float32",      # 'bfloat16' casts ONLY the MLP matmuls
+                                     # to bf16 (f32 accumulation + master
+                                     # weights); tables stay f32
         "grad_payload": "float32",   # 'bfloat16' sorts hash-grid cotangents
                                      # as 16-bit payloads (reference AMP fp16
                                      # grads, grid.py:44-47); f32 accumulation

@@ -60,14 +60,28 @@ class FieldSpec:
     fd_eps: float = 2e-3
     # 'bfloat16' = mixed policy: MLP matmuls bf16 on the MXU, f32 accumulation
     # and master weights (the reference's AMP semantics, morpheus.py:158)
+    # AND bf16 hash-table gathers. Measured on v5e the table half is a
+    # REGRESSION (+25 ms/step: the dtype convert at the gather boundary
+    # defeats XLA fusion, PARITY.md), so mlp_dtype exposes the MLP half
+    # alone: matmuls ride the MXU in bf16 with f32 accumulation while the
+    # gathers stay f32.
     compute_dtype: str = "float32"
+    mlp_dtype: str = "float32"
     # static hash-level truncation for the coarse-to-fine curriculum: levels
     # >= active_levels skip their gather/VJP entirely (ops/hashgrid.encode)
     active_levels: int | None = None
 
     @property
     def cdt(self):
+        """Hash-table gather dtype (None = keep f32)."""
         return jnp.bfloat16 if self.compute_dtype == "bfloat16" else None
+
+    @property
+    def mdt(self):
+        """MLP matmul dtype (None = keep f32); compute_dtype implies it."""
+        if "bfloat16" in (self.compute_dtype, self.mlp_dtype):
+            return jnp.bfloat16
+        return None
 
     # ---- derived dims (mirror models/model.py:99-185) ----
     @property
@@ -192,8 +206,8 @@ def warp(params: dict, spec: FieldSpec, x, t, max_level=None):
     """(deform, topo): observation→canonical offset + ambient coords
     (models/model.py:412-437)."""
     h = _deform_inputs(params, spec, x, t, max_level)
-    deform = mlp.apply_mlp(params["deform_net"], h, spec.cdt)
-    topo = mlp.apply_mlp(params["topo_net"], h, spec.cdt)
+    deform = mlp.apply_mlp(params["deform_net"], h, spec.mdt)
+    topo = mlp.apply_mlp(params["topo_net"], h, spec.mdt)
     if spec.encode_topo:
         topo = encodings.freq_encode(topo, 4, max_level)
     return deform, topo
@@ -202,7 +216,7 @@ def warp(params: dict, spec: FieldSpec, x, t, max_level=None):
 def get_topo(params: dict, spec: FieldSpec, x, t, max_level=None):
     """Ambient/topology coords only (models/model.py:252-271)."""
     h = _deform_inputs(params, spec, x, t, max_level)
-    topo = mlp.apply_mlp(params["topo_net"], h, spec.cdt)
+    topo = mlp.apply_mlp(params["topo_net"], h, spec.mdt)
     if spec.encode_topo:
         topo = encodings.freq_encode(topo, 4, max_level)
     return topo
@@ -252,7 +266,7 @@ def _sdf_head(params: dict, spec: FieldSpec, x, enc, topo, max_level):
         feat = jnp.concatenate([enc_xyz, enc, topo], axis=-1)
     else:
         feat = jnp.concatenate([x, enc, topo], axis=-1)
-    h = mlp.apply_mlp(params["sdf_net"], feat, spec.cdt)
+    h = mlp.apply_mlp(params["sdf_net"], feat, spec.mdt)
     return h[..., 0], h[..., 1:]
 
 
@@ -280,7 +294,7 @@ def albedo(params: dict, spec: FieldSpec, x, geo_feat, app_code=None,
         if app_code is None:
             app_code = jnp.zeros(x.shape[:-1] + (spec.deform_dim,), x.dtype)
         feat = jnp.concatenate([feat, app_code], axis=-1)
-    return jax.nn.sigmoid(mlp.apply_mlp(params["color_net"], feat, spec.cdt))
+    return jax.nn.sigmoid(mlp.apply_mlp(params["color_net"], feat, spec.mdt))
 
 
 def sigma_albedo(params: dict, spec: FieldSpec, x, topo=None, app_code=None,
@@ -302,7 +316,7 @@ def sigma_albedo(params: dict, spec: FieldSpec, x, topo=None, app_code=None,
                                      x.dtype)
             feat = jnp.concatenate([feat, app_code], axis=-1)
         rgb = jax.nn.sigmoid(mlp.apply_mlp(params["color_net"], feat,
-                                           spec.cdt))
+                                           spec.mdt))
     return sdf, sigma, rgb
 
 
@@ -374,7 +388,7 @@ def background(params: dict, spec: FieldSpec, d, t, max_level=None):
     h_t = encodings.freq_encode(t, spec.multires_bg_t, max_level)
     return jax.nn.sigmoid(mlp.apply_mlp(params["bg_net"],
                                         jnp.concatenate([h, h_t], -1),
-                                        spec.cdt))
+                                        spec.mdt))
 
 
 # ---- full forward (models/model.py:483-533) ----
@@ -453,7 +467,7 @@ def forward(params: dict, spec: FieldSpec, x, t, light_d=None, ratio=1.0,
                 [feat, jnp.zeros(x_cano.shape[:-1] + (spec.deform_dim,),
                                  x_cano.dtype)], axis=-1)
         alb = jax.nn.sigmoid(mlp.apply_mlp(params["color_net"], feat,
-                                           spec.cdt))
+                                           spec.mdt))
         n = jnp.nan_to_num(safe_normalize(n_raw))
     else:
         sdf, sigma, alb = sigma_albedo(params, spec, x_cano, topo,

@@ -77,7 +77,8 @@ class Trainer:
             color_grid=config["model"]["color_grid"],
             encode_topo=config["model"]["encode_topo"],
             bg_radius=config["model"]["bg_radius"],
-            compute_dtype=config["tpu"].get("compute_dtype", "float32"))
+            compute_dtype=config["tpu"].get("compute_dtype", "float32"),
+            mlp_dtype=config["tpu"].get("mlp_dtype", "float32"))
         self.rcfg = renderer.RenderConfig.from_config(config, dataset.num_frames,
                                                       self.bound)
         # occupancy density queries: nearest-corner hash lookup (8x fewer

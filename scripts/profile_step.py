@@ -43,6 +43,8 @@ VARIANTS = [
                              "normal_smooth_3d": 0.0}}),
     ("no_merge", {"tpu": {"merge_smooth": False}}),
     ("bf16", {"tpu": {"compute_dtype": "bfloat16"}}),
+    ("bf16_mlp", {"tpu": {"mlp_dtype": "bfloat16"}}),
+    ("late_bf16_mlp", {"_epoch": 1900, "tpu": {"mlp_dtype": "bfloat16"}}),
     ("no_code", {"train": {"code_reg": 0.0}}),
     ("no_orient", {"train": {"ori_weight": 0.0}}),
     ("render_only", {"train": {"normal_smoothness": 0.0,

@@ -111,14 +111,17 @@ def test_forward_jits_with_traced_shading(small_spec, params):
 
 
 @pytest.mark.slow
-def test_bf16_compute_policy_loss_parity(small_spec):
+@pytest.mark.parametrize("policy", ["compute_dtype", "mlp_dtype"])
+def test_bf16_compute_policy_loss_parity(small_spec, policy):
     """tpu.compute_dtype=bfloat16 runs MLPs in bf16 (f32 accumulation) —
     field outputs must track the f32 path within bf16 tolerance and keep
-    f32 output dtypes (master weights stay f32). Slow tier: non-default
-    policy (shipped configs run f32 compute), compile-heavy on CPU."""
+    f32 output dtypes (master weights stay f32). tpu.mlp_dtype=bfloat16 is
+    the MLP-only half of the policy (tables stay f32 — the table cast
+    measured +25 ms on v5e, PARITY.md). Slow tier: non-default policy
+    (shipped configs run f32 compute), compile-heavy on CPU."""
     import dataclasses
     spec32 = small_spec
-    spec16 = dataclasses.replace(spec32, compute_dtype="bfloat16")
+    spec16 = dataclasses.replace(spec32, **{policy: "bfloat16"})
     params = field.init_field(jax.random.PRNGKey(0), spec32)
     x = jax.random.uniform(jax.random.PRNGKey(1), (128, 3),
                            minval=-0.8, maxval=0.8)
