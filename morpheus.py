@@ -16,6 +16,53 @@ import threading
 import time
 
 
+def _apply_degrade(config, level: int) -> list[str]:
+    """Degraded-mode overrides for the crash-resume supervisor
+    (scripts/run_full_budget.sh sets MORPHEUS_DEGRADE after N consecutive
+    no-progress failures). Each level trades throughput — and at level 2,
+    virtual-view resolution — for HBM headroom; every override is returned
+    for the log so a degraded run is never mistaken for a clean one."""
+    notes = []
+    if level >= 1:
+        config["tpu"]["chain_steps"] = False
+        notes.append("tpu.chain_steps=false (single-step dispatch)")
+        if config["guidance"].get("compute_dtype") != "bfloat16":
+            config["guidance"]["compute_dtype"] = "bfloat16"
+            notes.append("guidance.compute_dtype=bfloat16")
+    if level >= 2:
+        s = min(0.35, float(config["data"].get("novel_view_scale_final", 0.5)))
+        config["data"]["novel_view_scale_final"] = s
+        notes.append(f"data.novel_view_scale_final={s} "
+                     "(SEMANTICS CHANGE: smaller late virtual views)")
+    return notes
+
+
+def _live_array_report(log) -> None:
+    """On RESOURCE_EXHAUSTED: dump the client-visible device residency
+    (jax.live_arrays()) so the next crash carries real telemetry — the axon
+    backend exposes no memory_stats(), so this is the only residency signal."""
+    try:
+        import collections
+
+        import jax
+        arrs = jax.live_arrays()
+        tot = 0
+        by: collections.Counter = collections.Counter()
+        for a in arrs:
+            try:
+                nb = a.size * a.dtype.itemsize
+            except Exception:
+                continue
+            tot += nb
+            by[(str(a.dtype), str(a.shape))] += nb
+        log(f"[oom] {len(arrs)} live client arrays, "
+            f"{tot / 2**30:.2f} GiB total (executables/temps not counted)")
+        for (dt, shape), nb in by.most_common(15):
+            log(f"[oom] {nb / 2**20:9.1f} MiB  {dt:9s} {shape}")
+    except Exception as e:  # diagnostics must never mask the real error
+        log(f"[oom] live-array report failed: {e}")
+
+
 def _hbm_note() -> str:
     """Device-memory snapshot for the epoch log line (diagnosing HBM
     headroom around curriculum transitions; backends without memory_stats —
@@ -48,6 +95,10 @@ def main(argv=None):
     workspace = os.path.join(config["exp"]["output"], config["exp"]["exp_name"])
     os.makedirs(workspace, exist_ok=True)
     log = Logger(workspace, config["exp"]["log"])
+    degrade = int(os.environ.get("MORPHEUS_DEGRADE", "0") or 0)
+    if degrade:
+        for note in _apply_degrade(config, degrade):
+            log(f"[degrade L{degrade}] {note}")
     dump_config(config, workspace)
     seed_everything(config["exp"]["seed"])
     from morpheus_tpu.utils import file_backup
@@ -122,6 +173,10 @@ def main(argv=None):
     trainer = Trainer(config, dataset, guidance=guidance,
                       guidance_spec=(spec if guidance is not None else None),
                       workspace=workspace)
+    # the trainer keeps a CLIP-less guidance tree (the ViT-L tower is only
+    # needed for its one-time embedding precompute); rebind so this scope's
+    # reference does not pin the ~1.2 GB f32 tower in HBM for the whole run
+    guidance = trainer.guidance
 
     clip_encoder = None
     clip_ckpt = config["exp"].get("clip_ckpt", "")
@@ -153,10 +208,35 @@ def main(argv=None):
     max_epochs = config["train"]["n_epochs"]
     exp = config["exp"]
     eval_threads = []
+    try:
+        _epoch_loop(trainer, config, dataset, log, workspace, mesh_dir,
+                    clip_encoder, eval_threads, max_epochs, exp)
+    finally:
+        # join eval workers on EVERY exit path: once the main thread returns,
+        # concurrent.futures refuses new work ("cannot schedule new futures
+        # after interpreter shutdown"), so an eval thread still running at a
+        # crash would silently lose its epoch's 3-D metrics (observed on the
+        # round-3 full-budget run)
+        for t in eval_threads:
+            t.join()
+    log("Training done.")
+
+
+def _epoch_loop(trainer, config, dataset, log, workspace, mesh_dir,
+                clip_encoder, eval_threads, max_epochs, exp):
+    from morpheus_tpu import mesh_export
+    from morpheus_tpu.vis import video as video_lib
     for epoch in range(trainer.epoch + 1, max_epochs + 1):
         trainer.epoch = epoch
         t0 = time.time()
-        loss = trainer.train_one_epoch()
+        try:
+            loss = trainer.train_one_epoch()
+        except Exception as e:
+            if "RESOURCE_EXHAUSTED" in str(e):
+                log(f"[oom] RESOURCE_EXHAUSTED at epoch {epoch} "
+                    f"(host_step {getattr(trainer, '_host_step', '?')})")
+                _live_array_report(log)
+            raise
         if epoch % 10 == 0 or epoch == 1:
             log(f"epoch {epoch}/{max_epochs} loss={loss:.4f} "
                 f"({time.time() - t0:.2f}s){_hbm_note()}")
@@ -245,10 +325,6 @@ def main(argv=None):
                 t1.start()
                 t2.start()
                 eval_threads.extend([t1, t2])
-
-    for t in eval_threads:
-        t.join()
-    log("Training done.")
 
 
 if __name__ == "__main__":

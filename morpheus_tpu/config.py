@@ -216,6 +216,11 @@ DEFAULTS: dict[str, dict[str, Any]] = {
                                      # curriculum (scale 0.5 = 32,400 rays)
                                      # otherwise OOM v5e HBM next to the
                                      # ~5 GB f32 Zero123 weights
+        "donate_state": True,        # donate the TrainState into the chained/
+                                     # virtual step jits (output aliases
+                                     # input, halving state residency);
+                                     # timing harnesses that re-feed a saved
+                                     # state (bench.py) turn this off
     },
 }
 

@@ -5,6 +5,12 @@ occlusion/missing-depth culling→ICP align→50k-sample Acc/Comp/ratio)."""
 from __future__ import annotations
 
 import os
+# imported at module scope, NOT inside eval_mesh_3d: that function runs on a
+# background eval thread (morpheus.py epoch loop), and a first import of
+# concurrent.futures during interpreter shutdown raises "can't register
+# atexit after shutdown", silently dropping the epoch's 3-D metrics
+# (observed live, round-3 full-budget run supervisor.log 14:21)
+from concurrent.futures import ThreadPoolExecutor
 from copy import deepcopy
 
 import numpy as np
@@ -214,7 +220,6 @@ def eval_mesh_3d(rec_files, gt_files, save_file, epoch, workers=None):
     from the average instead of discarding the whole epoch's metrics."""
     import subprocess
     import sys
-    from concurrent.futures import ThreadPoolExecutor
 
     n = len(rec_files)
     workers = workers or min(10, os.cpu_count() or 1, n)

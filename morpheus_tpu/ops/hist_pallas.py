@@ -87,11 +87,13 @@ def _kernel(idx_ref, val_ref, out_ref, *, n_chan: int, t_hi: int, blk: int):
     out_ref[0] += contrib
 
 
-def _blk_for(n_chan: int) -> int:
+def _blk_for(n_chan: int, itemsize: int) -> int:
     """Block size bounded by the kernel's VMEM intermediates: bv is
-    (BLK, WIN*n_chan) f32 — cap it at ~4 MB so wide packed-corner payloads
-    (n_chan = 8*level_dim after dense-level oct-packing) still fit."""
-    return max(256, min(BLK, (1 << 20) // (WIN * n_chan) * 4))
+    (BLK, WIN*n_chan) in the payload compute dtype — budget it at ~4 MB so
+    wide packed-corner payloads (n_chan = 8*level_dim after dense-level
+    oct-packing) fit under the 16 MB scoped-vmem limit in BOTH dtypes
+    (f32 at n_chan=16 previously computed BLK=2048 -> a 16 MiB bv)."""
+    return max(256, min(BLK, (1 << 22) // (WIN * n_chan * itemsize)))
 
 
 @functools.partial(jax.jit, static_argnames=("t_pad", "interpret"))
@@ -103,7 +105,8 @@ def level_histogram(idx_local: jnp.ndarray, vals: tuple, t_pad: int,
     n_chan = len(vals)
     t_pad = _round_up(max(t_pad, WIN), WIN)
     t_hi = t_pad // WIN
-    blk = _blk_for(n_chan)
+    bf_payload = all(v.dtype == jnp.bfloat16 for v in vals)
+    blk = _blk_for(n_chan, 2 if bf_payload else 4)
 
     np_pad = _round_up(Np, blk)
     pad = np_pad - Np

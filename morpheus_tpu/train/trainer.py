@@ -130,6 +130,15 @@ class Trainer:
             self._np_rng = np.random.default_rng(seed)
         if guidance is not None:
             self._embeddings = self.precompute_embeddings(guidance)
+            # the CLIP tower is only needed for that one-time embed pass; at
+            # real scale its ViT-L params are ~1.2 GB f32 that would otherwise
+            # stay HBM-resident for the whole run as an unused leaf of the
+            # guidance jit argument (every virtual step ships the full tree).
+            # Keep a host copy for ad-hoc use (novel_view_sample) and pass an
+            # empty subtree through the step jits.
+            self._clip_params_host = jax.tree.map(np.asarray,
+                                                  guidance.clip_params)
+            self.guidance = guidance._replace(clip_params=())
 
     # ---- pieces used inside jit ----
 
@@ -342,8 +351,9 @@ class Trainer:
         the scan body fuses differently). Compile cost ~= one step (scan
         compiles the body once)."""
         body = self._real_step_body(active_levels)
+        donate = (0,) if self.config["tpu"].get("donate_state", True) else ()
 
-        @jax.jit
+        @partial(jax.jit, donate_argnums=donate)
         def real_steps(state: TrainState, data, key, epoch):
             def one(carry, _):
                 st, ky = carry
@@ -597,8 +607,13 @@ class Trainer:
         curr = self.curr
         vf = self.config["train"]["virtual_freq"]
         spec = self._spec_for_levels(active_levels)
+        # donate the train state (argnum 0 only — guidance/embeddings are
+        # reused across steps): the output state aliases the input buffers,
+        # halving state residency during the update. tpu.donate_state=false
+        # opts out for callers that re-time one state (bench/profile).
+        donate = (0,) if self.config["tpu"].get("donate_state", True) else ()
 
-        @jax.jit
+        @partial(jax.jit, donate_argnums=donate)
         def virtual_step(state: TrainState, guidance, embeddings, key, epoch):
             step = state.global_step
             lr = curr.learning_rate(epoch)
@@ -809,11 +824,20 @@ class Trainer:
         (~5 GB f32) resident on a 16 GB v5e, dead variants are headroom the
         epoch-800 scale transition needs (observed RESOURCE_EXHAUSTED there
         on the full-budget run)."""
+        import gc
+        dropped = False
         for k in list(self._jit_cache):
             if k in keep:
                 continue
             if k.startswith(("real_", "virtual_", "dp_virtual_")):
                 del self._jit_cache[k]
+                dropped = True
+        if dropped:
+            # the PjitFunction holds its loaded executables until collected;
+            # force the collection so the HBM comes back BEFORE the next
+            # variant compiles (curriculum transitions compile while the old
+            # variant would otherwise still be loaded)
+            gc.collect()
 
     def train_one_epoch(self, n_iters: int | None = None):
         tr = self.config["train"]

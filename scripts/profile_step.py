@@ -139,7 +139,8 @@ def roofline(ep: int = 300):
 
     def fwd_fn(params, key):
         max_level = trainer.curr.max_level(epoch)
-        loss, _ = trainer._real_loss(params, occ, key, epoch, max_level, spec)
+        loss, _ = trainer._real_loss(params, trainer.data, occ, key, epoch,
+                                     max_level, spec)
         return loss
 
     def gradd_fn(params, key):

@@ -6,18 +6,38 @@
 # chip to answer before each (re)launch. Cumulative on-chip wall-clock
 # (excluding outage gaps) is tracked in $WS/wallclock.txt for RESULTS.md.
 #
-# Stall watchdog (round-3 addition): a dropped tunnel can leave the trainer
-# BLOCKED on an RPC forever instead of crashing (observed: futex wait, 0 CPU,
-# no log/file activity). Every 60 s the watchdog compares the trainer's
-# cumulative CPU time and the newest file mtime under $WS; if BOTH are idle
-# past STALL_S (default 900) the trainer is killed and the outer loop resumes
-# it from the last exp.ckpt_interval checkpoint. CPU-busy silent phases (the
-# final ICP/metric stage) and file-writing phases (video/mesh exports) are
-# never killed.
+# Stall watchdog (round-3): a dropped tunnel can leave the trainer BLOCKED on
+# an RPC forever instead of crashing (observed: futex wait, 0 CPU, no log or
+# file activity). Every 60 s the watchdog compares the trainer's cumulative
+# CPU time and the newest file mtime under $WS; if BOTH are idle past STALL_S
+# (default 900) the trainer is killed and the outer loop resumes it from the
+# last exp.ckpt_interval checkpoint. CPU-busy silent phases (the final
+# ICP/metric stage) and file-writing phases (video/mesh exports) are never
+# killed.
+#
+# Circuit breaker + degraded mode (round-4, after 9 identical OOM resume
+# loops at epoch 1001): "progress" = a new model_ep_*.pkl appearing. After
+# DEGRADE1_AFTER consecutive no-progress failures the trainer is relaunched
+# with MORPHEUS_DEGRADE=1 (unchained dispatch + bf16 guidance — morpheus.py
+# _apply_degrade); after DEGRADE2_AFTER with MORPHEUS_DEGRADE=2 (adds a
+# smaller late virtual view, a logged semantics change); after GIVE_UP_AFTER
+# the breaker opens: the supervisor stops relaunching a deterministic failure
+# and exits 1 loudly instead of burning compile time forever.
+#
+# Test hooks: TRAINER_CMD / PROBE_CMD / SLEEP_RETRY / SLEEP_PROBE let
+# tests/test_supervisor.py drive the loop with a fake trainer in seconds.
 set -u
 CFG=${1:-configs/synthetic_full.yaml}
 WS=${2:-exp/synthetic_full}
 STALL_S=${STALL_S:-900}
+DEGRADE1_AFTER=${DEGRADE1_AFTER:-2}
+DEGRADE2_AFTER=${DEGRADE2_AFTER:-4}
+GIVE_UP_AFTER=${GIVE_UP_AFTER:-8}
+SLEEP_RETRY=${SLEEP_RETRY:-30}
+SLEEP_PROBE=${SLEEP_PROBE:-120}
+WATCH_S=${WATCH_S:-60}
+TRAINER_CMD=${TRAINER_CMD:-}
+PROBE_CMD=${PROBE_CMD:-}
 cd "$(dirname "$0")/.."
 mkdir -p "$WS"
 LOG="$WS/supervisor.log"
@@ -31,25 +51,46 @@ newest_mtime() {  # newest file mtime under $WS except the supervisor's own
        -printf '%T@\n' 2>/dev/null | sort -rn | head -1 | cut -d. -f1
 }
 
-while true; do
-  # wait until the tunnel answers AND the chip executes real work — after a
-  # tunnel drop the plugin can still enumerate the device while every
+latest_ep() {  # numeric epoch of the newest checkpoint (0 if none)
+  ls "$WS/models"/model_ep_*.pkl 2>/dev/null \
+    | sed -E 's/.*model_ep_0*([0-9]+)\.pkl/\1/' | sort -n | tail -1
+}
+
+probe_tpu() {
+  if [ -n "$PROBE_CMD" ]; then eval "$PROBE_CMD"; return $?; fi
+  # after a tunnel drop the plugin can still enumerate the device while every
   # computation blocks forever (observed 2026-08-19: jax.devices() fine,
-  # first device op hangs in futex wait), so probe with an actual reduction
-  until timeout 120 python -c "import jax, jax.numpy as jnp; \
+  # first device op hangs in futex wait) — probe with an actual reduction
+  timeout 120 python -c "import jax, jax.numpy as jnp; \
 assert jax.devices()[0].platform=='tpu'; \
-assert float(jnp.arange(8.0).sum()) == 28.0" >/dev/null 2>&1; do
+assert float(jnp.arange(8.0).sum()) == 28.0" >/dev/null 2>&1
+}
+
+NOPROG=0
+while true; do
+  until probe_tpu; do
     echo "$(date -u +%FT%TZ) tpu down/unresponsive, waiting" >> "$LOG"
-    sleep 120
+    sleep "$SLEEP_PROBE"
   done
-  echo "$(date -u +%FT%TZ) launching trainer" >> "$LOG"
+
+  DEGRADE=0
+  if [ "$NOPROG" -ge "$DEGRADE2_AFTER" ]; then DEGRADE=2
+  elif [ "$NOPROG" -ge "$DEGRADE1_AFTER" ]; then DEGRADE=1; fi
+  EP_BEFORE=$(latest_ep); EP_BEFORE=${EP_BEFORE:-0}
+  echo "$(date -u +%FT%TZ) launching trainer (noprog=$NOPROG" \
+       "degrade=$DEGRADE from epoch $EP_BEFORE)" >> "$LOG"
   T0=$(date +%s)
-  python morpheus.py --config "$CFG" >> "$LOG" 2>&1 &
+  export MORPHEUS_DEGRADE=$DEGRADE
+  if [ -n "$TRAINER_CMD" ]; then
+    eval "$TRAINER_CMD" >> "$LOG" 2>&1 &
+  else
+    python morpheus.py --config "$CFG" >> "$LOG" 2>&1 &
+  fi
   PID=$!
   LAST_CPU=0
   IDLE_SINCE=$(date +%s)
   while kill -0 "$PID" 2>/dev/null; do
-    sleep 60
+    sleep "$WATCH_S"
     NOW=$(date +%s)
     CPU=$(cpu_jiffies "$PID")
     MT=$(newest_mtime); MT=${MT:-0}
@@ -69,11 +110,25 @@ assert float(jnp.arange(8.0).sum()) == 28.0" >/dev/null 2>&1; do
   wait "$PID"
   RC=$?
   T1=$(date +%s)
-  echo "attempt $(date -u +%FT%TZ) rc=$RC secs=$((T1 - T0))" >> "$WS/wallclock.txt"
+  echo "attempt $(date -u +%FT%TZ) rc=$RC secs=$((T1 - T0))" \
+       "degrade=$DEGRADE" >> "$WS/wallclock.txt"
   if [ $RC -eq 0 ]; then
     echo "$(date -u +%FT%TZ) run COMPLETE" >> "$LOG"
     exit 0
   fi
-  echo "$(date -u +%FT%TZ) trainer died rc=$RC — will resume" >> "$LOG"
-  sleep 30
+  EP_AFTER=$(latest_ep); EP_AFTER=${EP_AFTER:-0}
+  if [ "$EP_AFTER" -gt "$EP_BEFORE" ]; then
+    NOPROG=0
+  else
+    NOPROG=$((NOPROG + 1))
+  fi
+  if [ "$NOPROG" -ge "$GIVE_UP_AFTER" ]; then
+    echo "$(date -u +%FT%TZ) circuit breaker OPEN: $NOPROG consecutive" \
+         "failures without a new checkpoint (even degraded) — NOT" \
+         "relaunching; fix the trainer" >> "$LOG"
+    exit 1
+  fi
+  echo "$(date -u +%FT%TZ) trainer died rc=$RC — will resume" \
+       "(noprog=$NOPROG)" >> "$LOG"
+  sleep "$SLEEP_RETRY"
 done

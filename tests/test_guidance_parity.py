@@ -60,7 +60,11 @@ def _import_ldm():
             sys.modules[name] = types.ModuleType(name)
         sys.modules["taming.modules.vqvae.quantize"] = tq
     if REF not in sys.path:
-        sys.path.insert(0, REF)
+        # APPEND, never insert at 0: the reference tree has its own
+        # morpheus.py/utils.py, and shadowing the repo's top-level modules
+        # breaks later tests in the same session (only `ldm` is needed here,
+        # and it exists nowhere else on the path)
+        sys.path.append(REF)
     from ldm.models.autoencoder import AutoencoderKL as TorchVAE
     from ldm.modules.diffusionmodules.openaimodel import UNetModel as TorchUNet
     return TorchUNet, TorchVAE
