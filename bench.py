@@ -175,19 +175,25 @@ def main():
     # the round-3 full-run log implied ~20% below the bench value and nothing
     # committed measured it
     _phase("epoch-loop sustained rate")
-    trainer.epoch = 300
-    trainer.config["train"]["real_freq"] = chain_n
-    trainer.config["train"]["n_iters"] = 10
-    trainer.state = state._replace(global_step=jnp.asarray(33000, jnp.int32))
-    trainer._host_step = 33000
-    trainer.train_one_epoch()  # compile/settle (single-step variant + chain)
-    steps_per_epoch = (1 + chain_n) * 10
-    t0 = time.perf_counter()
-    trainer.train_one_epoch()
-    trainer.train_one_epoch()
-    jax.block_until_ready(trainer.state.params)
-    float(jnp.asarray(trainer.state.global_step))
-    dt_sustained = (time.perf_counter() - t0) / (2 * steps_per_epoch)
+    dt_sustained = None
+    try:
+        trainer.epoch = 300
+        trainer.config["train"]["real_freq"] = chain_n
+        trainer.config["train"]["n_iters"] = 10
+        trainer.state = state._replace(
+            global_step=jnp.asarray(33000, jnp.int32))
+        trainer._host_step = 33000
+        trainer.train_one_epoch()  # compile/settle (single variant + chain)
+        steps_per_epoch = (1 + chain_n) * 10
+        t0 = time.perf_counter()
+        trainer.train_one_epoch()
+        trainer.train_one_epoch()
+        jax.block_until_ready(trainer.state.params)
+        float(jnp.asarray(trainer.state.global_step))
+        dt_sustained = (time.perf_counter() - t0) / (2 * steps_per_epoch)
+    except Exception as e:  # never lose the headline to the extra metric
+        print(f"bench: epoch-loop rate failed: {e!r}", file=sys.stderr,
+              flush=True)
 
     out = {
         "metric": "rays_per_sec_per_chip",
@@ -197,7 +203,8 @@ def main():
         "steps_per_sec": round(1.0 / dt, 2),
         "rays_per_sec_isolated": round(rays / dt_iso, 1),
         "rays_per_sec_late": round(rays / dt_late, 1),
-        "rays_per_sec_epoch_loop": round(rays / dt_sustained, 1),
+        **({"rays_per_sec_epoch_loop": round(rays / dt_sustained, 1)}
+           if dt_sustained else {}),
         "compile_s": round(compile_s, 1),
         "device": str(jax.devices()[0]),
         "loss": float(loss),
