@@ -89,11 +89,17 @@ def _kernel(idx_ref, val_ref, out_ref, *, n_chan: int, t_hi: int, blk: int):
 
 def _blk_for(n_chan: int, itemsize: int) -> int:
     """Block size bounded by the kernel's VMEM intermediates: bv is
-    (BLK, WIN*n_chan) in the payload compute dtype — budget it at ~4 MB so
-    wide packed-corner payloads (n_chan = 8*level_dim after dense-level
-    oct-packing) fit under the 16 MB scoped-vmem limit in BOTH dtypes
-    (f32 at n_chan=16 previously computed BLK=2048 -> a 16 MiB bv)."""
-    return max(256, min(BLK, (1 << 22) // (WIN * n_chan * itemsize)))
+    (BLK, WIN*n_chan) in the payload compute dtype — budget ~4 MB so wide
+    packed-corner payloads (n_chan = 8*level_dim after dense-level
+    oct-packing) stay well under the 16 MB scoped-vmem limit.
+
+    HARD FLOOR 1024: the flat s32 idx stream gets XLA layout {0:T(1024)},
+    and Mosaic derives the operand tiling from the block shape — a 512 block
+    fails verification ("XLA layout ({0:T(1024)}) does not match Mosaic
+    layout ({0:T(512)})", observed live on v5e at the bf16 n_chan=32 packed
+    backward, round-4 full-budget run). Callers keep bv bounded at the floor
+    by chunking channels (level_histogram) instead of shrinking blk."""
+    return max(1024, min(BLK, (1 << 22) // (WIN * n_chan * itemsize)))
 
 
 @functools.partial(jax.jit, static_argnames=("t_pad", "interpret"))
@@ -106,7 +112,17 @@ def level_histogram(idx_local: jnp.ndarray, vals: tuple, t_pad: int,
     t_pad = _round_up(max(t_pad, WIN), WIN)
     t_hi = t_pad // WIN
     bf_payload = all(v.dtype == jnp.bfloat16 for v in vals)
-    blk = _blk_for(n_chan, 2 if bf_payload else 4)
+    itemsize = 2 if bf_payload else 4
+    # channel chunking: with blk floored at 1024 (layout, _blk_for) the bv
+    # intermediate is bounded by capping per-call channels at 64 bytes/row
+    # (f32 -> 16, bf16 -> 32; bv <= 8 MiB) and concatenating the results
+    max_c = 64 // itemsize
+    if n_chan > max_c:
+        outs = [level_histogram(idx_local, vals[i:i + max_c], t_pad,
+                                interpret)
+                for i in range(0, n_chan, max_c)]
+        return jnp.concatenate(outs, 0)
+    blk = _blk_for(n_chan, itemsize)
 
     np_pad = _round_up(Np, blk)
     pad = np_pad - Np
