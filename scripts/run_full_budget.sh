@@ -94,8 +94,13 @@ while true; do
     NOW=$(date +%s)
     CPU=$(cpu_jiffies "$PID")
     MT=$(newest_mtime); MT=${MT:-0}
-    # progress = CPU burned (>=1 s/min) or a file written since last check
-    if [ $((CPU - LAST_CPU)) -ge 100 ] || [ "$MT" -gt "$IDLE_SINCE" ]; then
+    # progress = CPU burned or a file written since last check. Threshold is
+    # deliberately tiny (0.1 s/min): a genuinely hung trainer (tunnel drop →
+    # futex wait) burns ~0 jiffies, while a host-starved-but-alive one (another
+    # process hogging the single vCPU) still trickles CPU — observed 2026-08-20:
+    # a concurrent CPU job starved the trainer below the old 1 s/min bar for
+    # 15 min and the watchdog killed a healthy epoch-770 run.
+    if [ $((CPU - LAST_CPU)) -ge 10 ] || [ "$MT" -gt "$IDLE_SINCE" ]; then
       IDLE_SINCE=$NOW
     fi
     LAST_CPU=$CPU
