@@ -26,4 +26,7 @@ assert len(jax.devices()) == 8, "expected 8 virtual CPU devices"
 # test_train_loop_smoke step; warm reruns skip nearly all XLA work.
 from morpheus_tpu.utils import setup_compilation_cache  # noqa: E402
 
-setup_compilation_cache("/tmp/jax_comp_cache_tests")
+# MORPHEUS_TEST_CACHE overrides the cache dir (point it at a scratch dir to
+# measure a true cold tier without clobbering the shared cache)
+setup_compilation_cache(os.environ.get("MORPHEUS_TEST_CACHE",
+                                       "/tmp/jax_comp_cache_tests"))

@@ -99,10 +99,12 @@ def test_timestep_embedding_layout():
 
 @pytest.fixture(scope="module")
 def small_vae():
-    # real depth ((1,2,4,4) x 2 blocks — the shape-determining structure),
-    # tiny spatial size and base width to keep the CPU init cheap; full-width
-    # numerics live in test_guidance_parity.py / test_zero123_real_scale.py
-    m = vae.AutoencoderKL(ch=32)
+    # real mult LADDER (1,2,4,4 — the shape-determining structure: latent is
+    # /8) with ONE res block per level and tiny width: eager init cost on a
+    # 1-vCPU host is per-conv XLA compile, so depth is the budget knob
+    # (VERDICT r3 #8). Full-depth/width numerics live in
+    # test_guidance_parity.py / test_zero123_real_scale.py.
+    m = vae.AutoencoderKL(ch=32, num_res_blocks=1)
     params = m.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))["params"]
     return m, params
 

@@ -34,8 +34,16 @@ def _micro_cfg(**train_over):
 
 def test_train_loop_smoke():
     """Two epochs of the real jitted step: loss finite, params move, occ/EMA
-    state updates — the default-tier train-loop coverage."""
-    cfg = _micro_cfg()
+    state updates — the default-tier train-loop coverage.
+
+    Compile-budget note (VERDICT r3 #8): this test, the unchained arm of
+    test_chained_steps_match_unchained and test_nonfinite_grads_skip_update
+    deliberately share ONE real-step program (same micro cfg, chain_steps
+    off here) so the persistent compile cache pays its XLA-CPU compile once
+    per cold tier. Chained-dispatch coverage lives in the dedicated
+    chained-vs-unchained test."""
+    cfg = _micro_cfg(real_freq=3)
+    cfg["tpu"]["chain_steps"] = False
     scene = make_synthetic_scene(num_frames=2, H=12, W=12)
     ds = data_lib.DeformDataset(cfg, scene=scene)
     tr = Trainer(cfg, ds)
@@ -49,7 +57,7 @@ def test_train_loop_smoke():
                 for a, b in zip(jax.tree.leaves(tr.state.params),
                                 jax.tree.leaves(p0)))
     assert moved > 0
-    assert int(tr.state.global_step) == 2
+    assert int(tr.state.global_step) == 6
 
 
 def test_sharded_real_step_smoke():
@@ -80,8 +88,11 @@ def test_virtual_sds_step_smoke():
     random-weight Zero123 in the default tier."""
     from morpheus_tpu.guidance import zero123 as z123
     # shallow VAE ((1,2)x1 vs the real (1,2,4,4)x2) with image_size chosen to
-    # keep the latent at 8x8 — a 4x smaller XLA graph with identical structure
-    spec = z123.Zero123Spec(image_size=16, unet_channels=32, unet_mult=(1, 2),
+    # keep the latent at 8x8, and a single-level UNet (the smoke exercises the
+    # render→VAE→UNet-CFG→grad PIPELINE; multi-level UNet structure is golden-
+    # tested in test_guidance*.py) — a much smaller XLA graph, the cold-tier
+    # compile budget's single largest item (VERDICT r3 #8)
+    spec = z123.Zero123Spec(image_size=16, unet_channels=32, unet_mult=(1,),
                             unet_heads=2, context_dim=16, clip_width=32,
                             clip_layers=1, clip_heads=2, clip_patch=14,
                             vae_ch=32, vae_mult=(1, 2), vae_res_blocks=1)
@@ -133,35 +144,33 @@ def test_nonfinite_grads_skip_update():
     global_step. Observed without this on v5e: one non-finite virtual-step
     gradient at epoch ~600 of the full-budget run poisoned the entire state
     within a single step."""
-    cfg = _micro_cfg()
+    cfg = _micro_cfg(real_freq=3)
+    cfg["tpu"]["chain_steps"] = False
     scene = make_synthetic_scene(num_frames=2, H=12, W=12)
     ds = data_lib.DeformDataset(cfg, scene=scene)
     tr = Trainer(cfg, ds)
 
-    orig = tr._real_loss
-
-    def poisoned_loss(params, data, occ, key, epoch, max_level, spec):
-        loss, out = orig(params, data, occ, key, epoch, max_level, spec)
-        # sqrt of a negative DEPENDING ON loss → NaN in value AND in the
-        # gradient (adding a nan constant would leave gradients finite)
-        return loss + 0.0 * jnp.sqrt(loss - 1e9), out
-
-    tr._real_loss = poisoned_loss
+    # Poison through the STATE, not the loss fn: a NaN sdf_grid makes the
+    # loss and every gradient leaf non-finite (global grad clip couples all
+    # leaves) while reusing the exact step executable the other smokes
+    # compiled — a broken guard would write NaN into every OTHER param leaf
+    # and fail the bitwise comparison below.
     step = tr._make_real_step(None)
-    new_state, loss = step(tr.state, jax.random.PRNGKey(0), jnp.asarray(1.0))
+    bad_params = dict(tr.state.params)
+    bad_params["sdf_grid"] = jnp.full_like(bad_params["sdf_grid"], jnp.nan)
+    bad_state = tr.state._replace(params=bad_params)
+    new_state, loss = step(bad_state, jax.random.PRNGKey(0), jnp.asarray(1.0))
     assert not np.isfinite(float(loss))
     for a, b in zip(jax.tree.leaves(new_state.params),
-                    jax.tree.leaves(tr.state.params)):
+                    jax.tree.leaves(bad_state.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     for a, b in zip(jax.tree.leaves(new_state.opt_state),
-                    jax.tree.leaves(tr.state.opt_state)):
+                    jax.tree.leaves(bad_state.opt_state)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
-    assert int(new_state.global_step) == int(tr.state.global_step) + 1
+    assert int(new_state.global_step) == int(bad_state.global_step) + 1
 
-    # and a clean step still updates
-    tr._real_loss = orig
-    step2 = tr._make_real_step(None)
-    st2, loss2 = step2(tr.state, jax.random.PRNGKey(0), jnp.asarray(1.0))
+    # and a clean step (same executable, pristine state) still updates
+    st2, loss2 = step(tr.state, jax.random.PRNGKey(0), jnp.asarray(1.0))
     assert np.isfinite(float(loss2))
     moved = sum(float(np.abs(np.asarray(a) - np.asarray(b)).max())
                 for a, b in zip(jax.tree.leaves(st2.params),
