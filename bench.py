@@ -31,12 +31,18 @@ over the measured step time against v5e bf16 peak (197 TFLOP/s) — the step
 is f32-dominated, so this is a lower bound / utilization indicator, not a
 kernel-level roofline.
 
+Chip ownership: if the full-budget supervisor (scripts/run_full_budget.sh)
+has a live trainer on the chip, bench pauses it first (_pause_full_run:
+SIGSTOP supervisor, SIGTERM trainer, SIGCONT at exit) — otherwise the timing
+loops measure queue waits behind the trainer and the resident trainer HBM
+OOMs the SDS variants. Disable with MORPHEUS_BENCH_NO_PAUSE=1.
+
 Runtime guard: cold compiles on a 1-vCPU host take minutes per jitted
 variant (the persistent cache at /tmp/jax_comp_cache makes reruns fast).
 The headline JSON is printed BEFORE the optional SDS sections and re-printed
 (superset, same schema) at the end, so an external timeout mid-SDS-compile
 never loses the headline. Each SDS variant also checks elapsed wall-clock
-against BENCH_BUDGET_S (env, default 2400 s) before starting. BENCH_SDS=all
+against BENCH_BUDGET_S (env, default 5400 s) before starting. BENCH_SDS=all
 adds the bf16-UNet variant; BENCH_SDS=0 skips SDS entirely. Skips are
 recorded in sds_skipped as {label: reason} so a missing field is always
 distinguishable from a deliberate skip.
@@ -81,6 +87,87 @@ BENCH_POINT_CFG = {
 }
 
 
+def _pause_full_run(pidfile="/tmp/fullrun.pid"):
+    """Free the chip if the full-budget supervisor (run_full_budget.sh) has a
+    live trainer on it: SIGSTOP the supervisor (freezes its relaunch loop and
+    stall watchdog), SIGTERM its trainer child by exact pid (a merely-stopped
+    client would keep its HBM arrays resident on the axon server and OOM this
+    bench), and SIGCONT the supervisor at exit so it resumes the run from the
+    last exp.ckpt_interval checkpoint (<=50 epochs rollback). A detached
+    sleep-guard CONTs the supervisor even if this process is SIGKILLed
+    mid-bench, so the run can never stay frozen. Without this, a round-end
+    bench contends with the trainer for the chip and times queue waits
+    instead of steps."""
+    import atexit
+    import glob
+    import signal
+    import subprocess
+
+    def cmdline(pid):
+        try:
+            with open(f"/proc/{pid}/cmdline", "rb") as f:
+                return f.read().replace(b"\0", b" ").decode(errors="replace")
+        except OSError:
+            return ""
+
+    try:
+        with open(pidfile) as f:
+            sup = int(f.read().strip())
+    except (OSError, ValueError):
+        return None
+    # pid-reuse sanity: only ever signal a process that IS the supervisor
+    if "run_full_budget" not in cmdline(sup):
+        return None
+
+    guard_s = int(os.environ.get("MORPHEUS_PAUSE_GUARD_S", "7200"))
+    guard = subprocess.Popen(
+        ["bash", "-c", f"sleep {guard_s}; kill -CONT {sup} 2>/dev/null"],
+        start_new_session=True)
+
+    def _resume():
+        try:
+            os.kill(sup, signal.SIGCONT)
+        except OSError:
+            pass
+        if guard.poll() is None:
+            guard.kill()
+
+    atexit.register(_resume)  # registered BEFORE stopping: a crash anywhere
+    _phase(f"pausing full-budget supervisor (pid {sup}) to free the chip")
+    os.kill(sup, signal.SIGSTOP)
+
+    kids = set()
+    for f in glob.glob(f"/proc/{sup}/task/*/children"):
+        try:
+            with open(f) as fh:
+                kids.update(int(p) for p in fh.read().split())
+        except (OSError, ValueError):
+            pass
+    trainers = [p for p in sorted(kids) if "morpheus.py" in cmdline(p)]
+    for pid in trainers:
+        try:
+            os.kill(pid, signal.SIGTERM)
+        except OSError:
+            pass
+    deadline = time.monotonic() + 60
+    # a dead-but-unreaped child (the stopped supervisor can't wait() yet)
+    # reads back an empty cmdline, so this loop sees it as gone
+    while (any("morpheus.py" in cmdline(p) for p in trainers)
+           and time.monotonic() < deadline):
+        time.sleep(1.0)
+    for pid in trainers:
+        if "morpheus.py" in cmdline(pid):
+            try:
+                os.kill(pid, signal.SIGKILL)
+            except OSError:
+                pass
+    if trainers:
+        _phase(f"trainer pid(s) {trainers} stopped; waiting 5s for the "
+               "axon server to release their HBM")
+        time.sleep(5.0)
+    return _resume
+
+
 def _time_steps(step_fn, state, epoch, n=32, warmup=6):
     key = jax.random.PRNGKey(0)
     t_c = time.perf_counter()
@@ -111,6 +198,8 @@ def _flops_estimate(step_fn, state, epoch):
 
 
 def main():
+    if os.environ.get("MORPHEUS_BENCH_NO_PAUSE", "0") != "1":
+        _pause_full_run()
     from morpheus_tpu.utils import setup_compilation_cache
     setup_compilation_cache()
 
@@ -233,10 +322,12 @@ def main():
     # fp16-autocast analogue). Each variant is a multi-minute cold compile on
     # this host, so each checks the budget first.
     try:
-        budget_s = float(os.environ.get("BENCH_BUDGET_S", "2400"))
+        # default sized so a fully cold cache still reaches the s05 variant
+        # (round-3 skipped it at 900 s; its compile alone is ~15 min here)
+        budget_s = float(os.environ.get("BENCH_BUDGET_S", "5400"))
     except ValueError:
-        print("bench: malformed BENCH_BUDGET_S, using 2400", file=sys.stderr)
-        budget_s = 900.0
+        print("bench: malformed BENCH_BUDGET_S, using 5400", file=sys.stderr)
+        budget_s = 5400.0
     sds_mode = os.environ.get("BENCH_SDS", "1")
     sds_ms = {}
     sds_skipped = {}
@@ -280,8 +371,11 @@ def main():
             sds_ms[label] = (time.perf_counter() - t0) / nv * 1000.0
 
         gspec = z123.Zero123Spec()
-        time_sds(gspec, "sds_step_ms_s02", 0.2)
+        # s05 first: the post-epoch-800 operating point (32,400 rays) is the
+        # number every round so far has been missing — if the budget only
+        # covers one variant, it must be this one
         time_sds(gspec, "sds_step_ms_s05", 0.5)
+        time_sds(gspec, "sds_step_ms_s02", 0.2)
         if sds_mode == "all":
             time_sds(dataclasses.replace(gspec, compute_dtype="bfloat16"),
                      "sds_step_ms_bf16_s02", 0.2)
