@@ -366,7 +366,15 @@ class Trainer:
             return state, key, losses[-1]
 
         data = self.data
-        return lambda state, key, epoch: real_steps(state, data, key, epoch)
+
+        def steps(state, key, epoch):
+            return real_steps(state, data, key, epoch)
+
+        # forwarded like _make_real_step so AOT consumers (bench cache
+        # prewarm, HLO dumps) can lower the exact executable this runs
+        steps.lower = lambda state, key, epoch: real_steps.lower(state, data,
+                                                                 key, epoch)
+        return steps
 
     @staticmethod
     def _grads_finite(grads):
