@@ -132,10 +132,52 @@ def lower_sds_variant(cfg, ds, trainer, gspec, scale):
                        jnp.asarray(300.0))
 
 
+def prewarm_ab(config_path):
+    """Prewarm every chained-step variant a trainer CLI run of this config
+    will compile (one per distinct active-levels count over its epochs), so
+    the quality A/B arms (configs/ab_*.yaml) start stepping in seconds. The
+    epoch scalar is lowered exactly as train_one_epoch builds it
+    (jnp.asarray(epoch, float32) — NOT weak-typed like bench's
+    asarray(300.0)); tests/test_prewarm_lowering.py::test_ab_prewarm_hits_
+    cache proves a subsequent train_one_epoch adds no new cache entries."""
+    from morpheus_tpu.config import parse_cli
+    from morpheus_tpu.data.dataset import DeformDataset
+    from morpheus_tpu.data.synthetic import make_synthetic_scene
+    from morpheus_tpu.train.trainer import Trainer
+
+    cfg = parse_cli(["--config", config_path])
+    res = int(cfg["data"].get("synthetic_res", 64))
+    scene = make_synthetic_scene(
+        num_frames=int(cfg["data"].get("synthetic_frames", 8)), H=res, W=res)
+    ds = DeformDataset(cfg, scene=scene)
+    trainer = Trainer(cfg, ds)
+    chain = int(cfg["train"]["real_freq"])
+    if not cfg["tpu"].get("chain_steps", True) or chain <= 1:
+        _log(f"ab {config_path}: unchained config, nothing to prewarm")
+        return
+    variants = {}
+    for ep in range(1, cfg["train"]["n_epochs"] + 1):
+        trainer.epoch = ep
+        variants.setdefault(trainer._active_levels(), ep)
+    _log(f"ab {config_path}: {len(variants)} level variants "
+         f"{sorted(variants.items(), key=lambda kv: kv[1])}")
+    trainer._make_ema_step().lower(trainer.state).compile()
+    for al, ep in sorted(variants.items(), key=lambda kv: kv[1]):
+        t0 = time.perf_counter()
+        trainer.epoch = ep
+        fn = trainer._make_real_steps_chained(al, chain)
+        fn.lower(trainer.state, jax.random.PRNGKey(0),
+                 jnp.asarray(ep, jnp.float32)).compile()
+        _log(f"ab {config_path}: levels={al} (first epoch {ep}) "
+             f"compiled + cached ({time.perf_counter() - t0:.1f}s)")
+
+
 def main():
     from morpheus_tpu.utils import setup_compilation_cache
     setup_compilation_cache()
     which = sys.argv[1] if len(sys.argv) > 1 else "real300"
+    if which.startswith("ab:"):
+        return prewarm_ab(which[3:])
 
     t0 = time.perf_counter()
     if which in ("real300", "chained300", "late1900"):

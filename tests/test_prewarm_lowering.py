@@ -99,6 +99,48 @@ def test_sds_abstract_lowering_matches_concrete():
     assert lowered.as_text() == concrete
 
 
+def test_ab_prewarm_hits_cache(tmp_path):
+    # end-to-end: prewarm_ab(config) populates the persistent cache such
+    # that a real train_one_epoch sweep over the SAME config compiles
+    # NOTHING new — the property the A/B post-run window depends on
+    cfg_yaml = tmp_path / "tiny_ab.yaml"
+    cfg_yaml.write_text(
+        "data: {data_dir: '<synthetic>', synthetic_frames: 4,"
+        " synthetic_res: 32}\n"
+        "exp: {output: '%s', exp_name: tiny_ab, seed: 3}\n"
+        "render: {step_size: 0.02}\n"
+        "train: {n_epochs: 8, n_iters: 1, real_freq: 2, virtual_freq: 0,"
+        " real_ray_num: 64, warm_up_steps: 0}\n"
+        "model: {bg_radius: 0.0, grid_num_levels: 4,"
+        " grid_log2_hashmap_size: 12, grid_desired_resolution: 48}\n"
+        "tpu: {max_samples_per_ray: 8, march_steps: 32, occ_resolution: 16,"
+        " occ_warmup_steps: 1000}\n" % tmp_path)
+    cache = tmp_path / "cache"
+    old_dir = jax.config.jax_compilation_cache_dir
+    old_min = jax.config.jax_persistent_cache_min_compile_time_secs
+    jax.config.update("jax_compilation_cache_dir", str(cache))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    try:
+        pw.prewarm_ab(str(cfg_yaml))
+        entries = set(p.name for p in cache.iterdir())
+        assert entries, "prewarm wrote nothing to the persistent cache"
+
+        from morpheus_tpu.config import parse_cli
+        cfg = parse_cli(["--config", str(cfg_yaml)])
+        scene = make_synthetic_scene(num_frames=4, H=32, W=32)
+        ds = data_lib.DeformDataset(cfg, scene=scene)
+        trainer = Trainer(cfg, ds)
+        for ep in range(1, cfg["train"]["n_epochs"] + 1):
+            trainer.epoch = ep
+            trainer.train_one_epoch()
+        new = set(p.name for p in cache.iterdir()) - entries
+        assert not new, f"epoch loop cold-compiled {len(new)} modules: {new}"
+    finally:
+        jax.config.update("jax_compilation_cache_dir", old_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                          old_min)
+
+
 @pytest.mark.parametrize("dtype", ["bfloat16"])
 def test_sds_abstract_embedding_dtypes_follow_compute_dtype(dtype):
     # the bf16 bench variant's embeddings are computed by a bf16-cast CLIP;
