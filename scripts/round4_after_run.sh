@@ -43,6 +43,11 @@ timeout 2400 python scripts/profile_step.py --roofline 300 \
     > $OUT/roofline_300.txt 2>&1
 echo "roofline_300 rc=$?" | tee -a $OUT/status
 
+echo "== dense-scale microbench (oct-packing extension decision data) ==" \
+    | tee -a $OUT/status
+timeout 1800 python scripts/bench_dense_scale.py > $OUT/dense_scale.txt 2>&1
+echo "dense_scale rc=$?" | tee -a $OUT/status
+
 echo "== step ablations (incl. late bf16-MLP, VERDICT r3 #5) ==" \
     | tee -a $OUT/status
 timeout 3600 python scripts/profile_step.py \
