@@ -18,6 +18,18 @@ cd "$(dirname "$0")/.."
 VARIANTS=${@:-"sds_s05 sds_s02 sds_bf16_s02 chained300 real300 late1900"}
 TIMEOUT_S=${TIMEOUT_S:-2700}
 
+wait_chip() {
+  # don't start a variant into a dead tunnel: trainer construction
+  # device_puts a few MB and blocks forever on a dead RPC (the per-variant
+  # timeout would then burn 45 min per variant for nothing)
+  until timeout 90 python -c \
+      "import jax, jax.numpy as jnp; \
+assert float(jnp.arange(8.0).sum()) == 28.0" >/dev/null 2>&1; do
+    echo "chip down/unresponsive $(date -u +%FT%TZ), waiting"
+    sleep 120
+  done
+}
+
 run_variant() {
   case "$1" in
     profile:*)
@@ -31,10 +43,12 @@ run_variant() {
 
 FAILED=""
 for v in $VARIANTS; do
+  wait_chip
   echo "=== $v $(date -u +%FT%TZ)"
   run_variant "$v" || { echo "$v FAILED rc=$?"; FAILED="$FAILED $v"; }
 done
 for v in $FAILED; do
+  wait_chip
   echo "=== retry $v $(date -u +%FT%TZ)"
   run_variant "$v" || echo "$v FAILED AGAIN rc=$?"
 done
