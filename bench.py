@@ -339,7 +339,7 @@ def main():
         scene_v = make_synthetic_scene(num_frames=8, H=360, W=360)
         ds_v = data_lib.DeformDataset(cfg, scene=scene_v)
 
-        def time_sds(gspec, label, scale):
+        def time_sds(gspec, label, scale, ep=300):
             if sds_mode == "0":
                 sds_skipped[label] = "BENCH_SDS=0"
                 return
@@ -352,33 +352,40 @@ def main():
                 z123.Zero123Guidance.init_random(jax.random.PRNGKey(1),
                                                  gspec), gspec)
             trainer_v = Trainer(cfg, ds_v, guidance=g, guidance_spec=gspec)
-            trainer_v.epoch = 300
+            trainer_v.epoch = ep
             vstep = trainer_v._virtual_step_for_scale(
                 scale, trainer_v._active_levels())
             st = trainer_v.state._replace(
                 global_step=jnp.asarray(33001, jnp.int32))
+            ep_arr = jnp.asarray(float(ep))
             key = jax.random.PRNGKey(2)
             for _ in range(3):
                 key, k = jax.random.split(key)
-                st, vloss, _ = vstep(st, g, trainer_v._embeddings, k, epoch)
+                st, vloss, _ = vstep(st, g, trainer_v._embeddings, k, ep_arr)
             float(vloss)
             t0 = time.perf_counter()
             nv = 8
             for _ in range(nv):
                 key, k = jax.random.split(key)
-                st, vloss, _ = vstep(st, g, trainer_v._embeddings, k, epoch)
+                st, vloss, _ = vstep(st, g, trainer_v._embeddings, k, ep_arr)
             float(vloss)
             sds_ms[label] = (time.perf_counter() - t0) / nv * 1000.0
 
         gspec = z123.Zero123Spec()
+        bf16 = dataclasses.replace(gspec, compute_dtype="bfloat16")
         # s05 first: the post-epoch-800 operating point (32,400 rays) is the
         # number every round so far has been missing — if the budget only
         # covers one variant, it must be this one
         time_sds(gspec, "sds_step_ms_s05", 0.5)
         time_sds(gspec, "sds_step_ms_s02", 0.2)
+        # the full-budget run's ACTUAL post-800 operating point: bf16 UNet
+        # (configs/synthetic_full.yaml guidance.compute_dtype) + all 16 hash
+        # levels (epoch 1900) + 32,400 rays — the regime that owns ~70% of
+        # the reference budget's wall-clock (snoopy.yaml:5-6 after ep 800)
+        time_sds(bf16, "sds_step_ms_bf16_s05_late", 0.5, ep=1900)
         if sds_mode == "all":
-            time_sds(dataclasses.replace(gspec, compute_dtype="bfloat16"),
-                     "sds_step_ms_bf16_s02", 0.2)
+            time_sds(bf16, "sds_step_ms_bf16_s05", 0.5)
+            time_sds(bf16, "sds_step_ms_bf16_s02", 0.2)
     except Exception as e:
         # SDS timing is best-effort (full-size UNet may OOM a small host),
         # but a breakage must be visible, not a silently missing field

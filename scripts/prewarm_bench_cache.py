@@ -118,18 +118,18 @@ def lower_real_variant(trainer, which):
     raise SystemExit(f"unknown real variant {which}")
 
 
-def lower_sds_variant(cfg, ds, trainer, gspec, scale):
+def lower_sds_variant(cfg, ds, trainer, gspec, scale, ep=300):
     """Lowered SDS virtual step with guidance + CLIP/VAE embeddings
     abstract — the HLO twin of bench.py time_sds (which materializes
     both; tests/test_prewarm_lowering.py pins the equality)."""
     g_full_abs, g_abs = abstract_guidance(gspec)
     emb = abstract_embeddings(cfg, ds, gspec, g_full_abs)
     trainer.guidance_spec = gspec
-    trainer.epoch = 300
+    trainer.epoch = ep
     vstep = trainer._virtual_step_for_scale(scale, trainer._active_levels())
     st = trainer.state._replace(global_step=jnp.asarray(33001, jnp.int32))
     return vstep.lower(st, g_abs, emb, jax.random.PRNGKey(2),
-                       jnp.asarray(300.0))
+                       jnp.asarray(float(ep)))
 
 
 def prewarm_ab(config_path):
@@ -191,10 +191,11 @@ def main():
         gspec = z123.Zero123Spec()
         if "bf16" in which:
             gspec = dataclasses.replace(gspec, compute_dtype="bfloat16")
-        scale = 0.5 if which.endswith("s05") else 0.2
+        scale = 0.5 if "s05" in which else 0.2
+        ep = 1900 if "late" in which else 300
         cfg, ds, trainer = build_bench_trainer(H=360, W=360)
         _log(f"{which}: trainer built ({time.perf_counter() - t0:.1f}s)")
-        lowered = lower_sds_variant(cfg, ds, trainer, gspec, scale)
+        lowered = lower_sds_variant(cfg, ds, trainer, gspec, scale, ep=ep)
     else:
         raise SystemExit(f"unknown variant {which}")
     _log(f"{which}: lowered ({time.perf_counter() - t0:.1f}s), compiling")
