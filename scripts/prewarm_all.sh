@@ -22,11 +22,14 @@ wait_chip() {
   # don't start a variant into a dead tunnel: trainer construction
   # device_puts a few MB and blocks forever on a dead RPC (the per-variant
   # timeout would then burn 45 min per variant for nothing)
-  until timeout 90 python -c \
+  # 180 s: a fresh client's first op queues behind the trainer's chained
+  # dispatches (~23 s each, back-to-back) plus ~60 s of import/connect on a
+  # loaded host — 90 s false-negatived against a healthy busy chip
+  until timeout 180 python -c \
       "import jax, jax.numpy as jnp; \
 assert float(jnp.arange(8.0).sum()) == 28.0" >/dev/null 2>&1; do
     echo "chip down/unresponsive $(date -u +%FT%TZ), waiting"
-    sleep 120
+    sleep 90
   done
 }
 
