@@ -43,6 +43,11 @@ timeout 2400 python scripts/profile_step.py --roofline 300 \
     > $OUT/roofline_300.txt 2>&1
 echo "roofline_300 rc=$?" | tee -a $OUT/status
 
+echo "== SDS virtual-step ablations (the post-800 regime, ~70% of budget) ==" \
+    | tee -a $OUT/status
+timeout 5400 python scripts/profile_sds.py > $OUT/profile_sds.txt 2>&1
+echo "profile_sds rc=$?" | tee -a $OUT/status
+
 echo "== dense-scale microbench (oct-packing extension decision data) ==" \
     | tee -a $OUT/status
 timeout 1800 python scripts/bench_dense_scale.py > $OUT/dense_scale.txt 2>&1
