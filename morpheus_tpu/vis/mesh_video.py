@@ -38,24 +38,36 @@ def render_all_meshes(trainer, mesh_dir: str, save_images_dir: str,
     frames = []
     pose_params = np.asarray(trainer.state.params["pose"])
 
+    # ALL device math hoisted out of the render loop: one batched dispatch
+    # up-front instead of one per frame. The loop body is pure CPU
+    # (load_ply/pyrender/cv2) — a TPU-tunnel drop mid-eval used to hang the
+    # loop silently at whatever frame it reached (observed at ep 1200:
+    # frame 26 of 32, 19 min of zero CPU/file progress, watchdog kill,
+    # whole metric block lost). Up-front, a dead tunnel fails before any
+    # partial output exists and the supervisor's kill/resume loses nothing.
+    if not view_360:
+        # learned pose correction applied to the stored pose
+        # (morpheus.py:441-445)
+        Rs = np.asarray(euler_to_rotation(pose_params[:, :3]))
+        c2ws = []
+        for i in range(ds.num_frames):
+            deltaT = np.eye(4)
+            deltaT[:3, :3] = Rs[i]
+            deltaT[:3, 3] = pose_params[i, 3:6]
+            c2ws.append(deltaT @ np.asarray(ds.poses[i], np.float64))
+    else:
+        theta = np.full((ds.num_frames,),
+                        trainer.config["data"]["default_polar"], np.float64)
+        phi = np.arange(ds.num_frames, dtype=np.float64) \
+            / ds.num_frames * 360.0
+        radius = np.asarray(ds.radius, np.float64)[:ds.num_frames]
+        c2ws = list(np.asarray(c2w_from_polar(radius, theta, phi),
+                               np.float64))
+
     for i in range(ds.num_frames):
         path = os.path.join(mesh_dir, f"mesh_{epoch:04d}_{i:04d}.ply")
         verts, faces, colors = meshing.load_ply(path)
-
-        if not view_360:
-            # learned pose correction applied to the stored pose
-            # (morpheus.py:441-445)
-            R = np.asarray(euler_to_rotation(pose_params[i, :3][None]))[0]
-            t = pose_params[i, 3:6]
-            deltaT = np.eye(4)
-            deltaT[:3, :3] = R
-            deltaT[:3, 3] = t
-            c2w = deltaT @ np.asarray(ds.poses[i], np.float64)
-        else:
-            theta = np.array([trainer.config["data"]["default_polar"]])
-            phi = np.array([i / ds.num_frames * 360.0])
-            c2w = np.asarray(c2w_from_polar(
-                np.array([float(ds.radius[i])]), theta, phi))[0]
+        c2w = c2ws[i]
 
         rgb, depth = render_mesh_view(verts, faces, np.asarray(c2w, np.float64),
                                       K, H, W, vertex_colors=colors)
