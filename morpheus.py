@@ -11,8 +11,6 @@ train(): morpheus.py:1435-1519).
 from __future__ import annotations
 
 import os
-import sys
-import threading
 import time
 
 
@@ -207,23 +205,28 @@ def main(argv=None):
 
     max_epochs = config["train"]["n_epochs"]
     exp = config["exp"]
-    eval_threads = []
-    try:
-        _epoch_loop(trainer, config, dataset, log, workspace, mesh_dir,
-                    clip_encoder, eval_threads, max_epochs, exp)
-    finally:
-        # join eval workers on EVERY exit path: once the main thread returns,
-        # concurrent.futures refuses new work ("cannot schedule new futures
-        # after interpreter shutdown"), so an eval thread still running at a
-        # crash would silently lose its epoch's 3-D metrics (observed on the
-        # round-3 full-budget run)
-        for t in eval_threads:
-            t.join()
+
+    # crash-resume repair (VERDICT r4 #2): any mesh_all eval epoch whose
+    # metric_3d.txt row was lost to a mid-eval kill is re-evaluated from its
+    # on-disk meshes by a detached worker before training continues
+    from morpheus_tpu.eval.backfill import backfill_missing, wait_for_evals
+    backfill_missing(workspace, dataset.num_frames,
+                     exp.get("mesh_all_eval_interval", 0), trainer.epoch,
+                     log=log)
+
+    _epoch_loop(trainer, config, dataset, log, workspace, mesh_dir,
+                clip_encoder, max_epochs, exp)
+    # evals run in detached sessions and survive a trainer crash; on the
+    # CLEAN exit path, wait for them so "run COMPLETE" implies the final
+    # metric rows are on disk before any post-run pipeline reads them
+    if not wait_for_evals(workspace):
+        log("[eval] WARNING: eval workers still running at exit "
+            "(detached; rows will land late)")
     log("Training done.")
 
 
 def _epoch_loop(trainer, config, dataset, log, workspace, mesh_dir,
-                clip_encoder, eval_threads, max_epochs, exp):
+                clip_encoder, max_epochs, exp):
     from morpheus_tpu import mesh_export
     from morpheus_tpu.vis import video as video_lib
     for epoch in range(trainer.epoch + 1, max_epochs + 1):
@@ -315,16 +318,12 @@ def _epoch_loop(trainer, config, dataset, log, workspace, mesh_dir,
                                          video_name="video_360")
 
             if epoch % exp["mesh_all_eval_interval"] == 0 or epoch == max_epochs:
-                from morpheus_tpu.eval.culling import eval_depthL1, eval_mesh
-                t1 = threading.Thread(
-                    target=eval_mesh,
-                    args=(workspace, mesh_all_dir, dataset,
-                          f"mesh_{epoch:04d}", epoch))
-                t2 = threading.Thread(target=eval_depthL1,
-                                      args=(depth_dir, dataset))
-                t1.start()
-                t2.start()
-                eval_threads.extend([t1, t2])
+                # detached worker (own session): a supervisor SIGTERM of the
+                # trainer can no longer lose this epoch's metric_3d row
+                # (reference runs the same work in threads with exactly that
+                # failure mode, morpheus.py:1513-1518)
+                from morpheus_tpu.eval.backfill import run_eval_detached
+                run_eval_detached(workspace, [epoch], log=log)
 
 
 if __name__ == "__main__":

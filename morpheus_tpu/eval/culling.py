@@ -298,9 +298,12 @@ def eval_mesh(workspace, mesh_dir, dataset, target, epoch):
     return result
 
 
-def eval_depthL1(depth_dir, dataset):
+def eval_depthL1(depth_dir, dataset, epoch=None):
     """Masked depth L1 vs mesh-rendered depth + error heatmaps
-    (tools/culling.py:237-260)."""
+    (tools/culling.py:237-260). The protocol files (shared depth_error dir,
+    reference layout) are last-writer-wins across epochs; passing `epoch`
+    additionally writes a per-epoch mean file so the metric series survives
+    out-of-order backfill evals."""
     import cv2
     import imageio.v2 as imageio
 
@@ -325,4 +328,8 @@ def eval_depthL1(depth_dir, dataset):
                fmt="%.5f")
     np.savetxt(os.path.join(error_dir, "depthL1_score_mean.txt"),
                np.array([errors.mean()]), fmt="%.5f")
+    if epoch is not None:
+        np.savetxt(os.path.join(error_dir,
+                                f"depthL1_score_mean_{epoch:04d}.txt"),
+                   np.array([errors.mean()]), fmt="%.5f")
     return errors

@@ -58,10 +58,18 @@ def test_eval_threads_survive_crashing_epoch_loop():
     assert "cannot schedule new futures" not in r.stderr
 
 
-def test_morpheus_main_joins_in_finally():
-    """The join-on-every-exit-path lives in morpheus.main — keep it there."""
+def test_morpheus_main_uses_detached_eval():
+    """Round-5 design: evals run via detached workers (survive trainer
+    SIGTERM), missing rows are backfilled on resume, and the clean exit path
+    waits for inflight evals so 'run COMPLETE' implies the metric rows are on
+    disk. Keep all three wired in morpheus.py (see
+    morpheus_tpu/eval/backfill.py and tests/test_eval_backfill.py)."""
     src = (REPO / "morpheus.py").read_text()
     body = src.split("def main(", 1)[1]
-    fin = body.split("finally:", 1)
-    assert len(fin) == 2, "morpheus.main lost its finally-join of eval threads"
-    assert "t.join()" in fin[1].split("def ", 1)[0]
+    assert "backfill_missing(" in body, \
+        "morpheus.main lost the resume-time missing-eval backfill"
+    assert "wait_for_evals(" in body, \
+        "morpheus.main lost the clean-exit eval drain"
+    loop = src.split("def _epoch_loop(", 1)[1]
+    assert "run_eval_detached(" in loop, \
+        "_epoch_loop lost the detached (crash-proof) eval launch"
