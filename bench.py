@@ -93,7 +93,7 @@ def _pause_full_run(pidfile="/tmp/fullrun.pid"):
     stall watchdog), SIGTERM its trainer child by exact pid (a merely-stopped
     client would keep its HBM arrays resident on the axon server and OOM this
     bench), and SIGCONT the supervisor at exit so it resumes the run from the
-    last exp.ckpt_interval checkpoint (<=50 epochs rollback). A detached
+    last exp.ckpt_interval checkpoint. A detached
     sleep-guard CONTs the supervisor even if this process is SIGKILLed
     mid-bench, so the run can never stay frozen. Without this, a round-end
     bench contends with the trainer for the chip and times queue waits
@@ -119,7 +119,17 @@ def _pause_full_run(pidfile="/tmp/fullrun.pid"):
     if "run_full_budget" not in cmdline(sup):
         return None
 
-    guard_s = int(os.environ.get("MORPHEUS_PAUSE_GUARD_S", "7200"))
+    # tether the fail-safe guard to the bench budget (ADVICE r4 #3): the
+    # budget is only checked BEFORE each SDS variant starts, so a variant
+    # beginning near budget_s can overrun it by a full compile+timing pass;
+    # 1.5x + 30 min slack keeps the guard strictly after any legitimate
+    # bench end, while MORPHEUS_PAUSE_GUARD_S still force-overrides
+    try:
+        _budget = float(os.environ.get("BENCH_BUDGET_S", "5400"))
+    except ValueError:
+        _budget = 5400.0
+    guard_s = int(os.environ.get("MORPHEUS_PAUSE_GUARD_S",
+                                 str(int(max(7200, 1.5 * _budget + 1800)))))
     guard = subprocess.Popen(
         ["bash", "-c", f"sleep {guard_s}; kill -CONT {sup} 2>/dev/null"],
         start_new_session=True)
@@ -168,6 +178,51 @@ def _pause_full_run(pidfile="/tmp/fullrun.pid"):
     return _resume
 
 
+def _pause_ab_run(pidfile="/tmp/ab_run.pid"):
+    """SIGSTOP a live quality-A/B trainer (scripts/run_ab.sh publishes its
+    pid) for the duration of the bench, SIGCONT at exit. Unlike the
+    full-budget trainer it is merely stopped, not killed: its recon-only
+    HBM residency is small (no Zero123 weights), so the bench's SDS variants
+    still fit, and stopping preserves the arm's progress exactly."""
+    import atexit
+    import signal
+
+    try:
+        with open(pidfile) as f:
+            pid = int(f.read().strip())
+    except (OSError, ValueError):
+        return None
+    try:
+        with open(f"/proc/{pid}/cmdline", "rb") as f:
+            cmd = f.read().replace(b"\0", b" ").decode(errors="replace")
+    except OSError:
+        return None
+    if "morpheus.py" not in cmd:  # pid-reuse sanity
+        return None
+
+    def _resume():
+        try:
+            os.kill(pid, signal.SIGCONT)
+        except OSError:
+            pass
+
+    atexit.register(_resume)
+    _phase(f"pausing A/B trainer (pid {pid}) for the bench")
+    os.kill(pid, signal.SIGSTOP)
+    # fail-safe CONT even if this process is SIGKILLed mid-bench
+    import subprocess
+    try:
+        _budget = float(os.environ.get("BENCH_BUDGET_S", "5400"))
+    except ValueError:
+        _budget = 5400.0
+    guard_s = int(os.environ.get("MORPHEUS_PAUSE_GUARD_S",
+                                 str(int(max(7200, 1.5 * _budget + 1800)))))
+    subprocess.Popen(
+        ["bash", "-c", f"sleep {guard_s}; kill -CONT {pid} 2>/dev/null"],
+        start_new_session=True)
+    return _resume
+
+
 def _time_steps(step_fn, state, epoch, n=32, warmup=6):
     key = jax.random.PRNGKey(0)
     t_c = time.perf_counter()
@@ -200,6 +255,7 @@ def _flops_estimate(step_fn, state, epoch):
 def main():
     if os.environ.get("MORPHEUS_BENCH_NO_PAUSE", "0") != "1":
         _pause_full_run()
+        _pause_ab_run()
     from morpheus_tpu.utils import setup_compilation_cache
     setup_compilation_cache()
 

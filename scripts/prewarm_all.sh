@@ -15,7 +15,9 @@
 # --compile-only <name> instead.
 set -u
 cd "$(dirname "$0")/.."
-VARIANTS=${@:-"sds_s05 sds_s02 sds_bf16_s02 chained300 real300 late1900"}
+# sds_bf16_s05_late leads: it is the flagship run's actual post-800
+# operating point and bench.py times it unconditionally (ADVICE r4 #1)
+VARIANTS=${@:-"sds_bf16_s05_late sds_s05 sds_bf16_s05 sds_s02 sds_bf16_s02 chained300 real300 late1900"}
 TIMEOUT_S=${TIMEOUT_S:-2700}
 
 wait_chip() {

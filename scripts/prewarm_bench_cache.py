@@ -20,8 +20,11 @@ the same cache entry as bench.py's concrete execution
 Usage:
   python scripts/prewarm_bench_cache.py VARIANT
 with VARIANT one of: real300 chained300 late1900 sds_s05 sds_s02
-sds_bf16_s02. Run each variant in its OWN process (see prewarm_all.sh) so
-loaded executables are released before the next compile.
+sds_bf16_s05_late sds_bf16_s05 sds_bf16_s02 (sds names parse by substring:
+"bf16" -> bf16 UNet, "s05"/"s02" -> scale, "late" -> epoch-1900 levels,
+"noremat" -> remat_virtual off, for scripts/profile_sds.py's ablations).
+Run each variant in its OWN process (see prewarm_all.sh) so loaded
+executables are released before the next compile.
 """
 from __future__ import annotations
 
@@ -194,6 +197,10 @@ def main():
         scale = 0.5 if "s05" in which else 0.2
         ep = 1900 if "late" in which else 300
         cfg, ds, trainer = build_bench_trainer(H=360, W=360)
+        if "noremat" in which:
+            # scripts/profile_sds.py's *_noremat ablations (exact
+            # rematerialization off) are distinct HLO — prewarm them too
+            trainer.config["tpu"]["remat_virtual"] = False
         _log(f"{which}: trainer built ({time.perf_counter() - t0:.1f}s)")
         lowered = lower_sds_variant(cfg, ds, trainer, gspec, scale, ep=ep)
     else:

@@ -89,11 +89,29 @@ while true; do
   PID=$!
   LAST_CPU=0
   IDLE_SINCE=$(date +%s)
+  FILE_MT=0
+  FILE_AT=$(date +%s)
   while kill -0 "$PID" 2>/dev/null; do
     sleep "$WATCH_S"
     NOW=$(date +%s)
     CPU=$(cpu_jiffies "$PID")
     MT=$(newest_mtime); MT=${MT:-0}
+    # tier-2 stall bar (ADVICE r4 #4): CPU-trickle-immune. A PJRT client hung
+    # on a dead-tunnel RPC can still burn background-thread CPU above the
+    # tiny tier-1 bar, silently disabling it; file-mtime progress cannot be
+    # faked that way (a healthy run logs every 10 epochs and checkpoints
+    # every ckpt_interval). The multiplier leaves room for cold-compile
+    # phases, which burn CPU for many minutes without writing files.
+    if [ "$MT" -gt "$FILE_MT" ]; then FILE_MT=$MT; FILE_AT=$NOW; fi
+    if [ $((NOW - FILE_AT)) -gt $((STALL_S * ${MTIME_STALL_MULT:-6})) ]; then
+      echo "$(date -u +%FT%TZ) stall(tier2): no FILE progress for" \
+           "$((NOW - FILE_AT))s despite CPU activity — killing trainer" \
+           "(pid $PID)" >> "$LOG"
+      kill "$PID" 2>/dev/null
+      sleep 15
+      kill -9 "$PID" 2>/dev/null
+      continue
+    fi
     # progress = CPU burned or a file written since last check. Threshold is
     # deliberately tiny (0.1 s/min): a genuinely hung trainer (tunnel drop →
     # futex wait) burns ~0 jiffies, while a host-starved-but-alive one (another
@@ -124,6 +142,13 @@ while true; do
   EP_AFTER=$(latest_ep); EP_AFTER=${EP_AFTER:-0}
   if [ "$EP_AFTER" -gt "$EP_BEFORE" ]; then
     NOPROG=0
+  elif [ "$RC" -eq 143 ]; then
+    # SIGTERM deaths are progress-neutral (ADVICE r4 #2): they come from
+    # bench.py's chip pause or this script's own stall watchdog — external
+    # interventions, not the deterministic trainer failures (OOM loops) the
+    # degrade ladder / circuit breaker exist for. Counting them could push a
+    # healthy run into MORPHEUS_DEGRADE purely from measurement tooling.
+    :
   else
     NOPROG=$((NOPROG + 1))
   fi

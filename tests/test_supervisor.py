@@ -76,6 +76,47 @@ def test_progress_resets_counter(tmp_path):
     assert "circuit breaker OPEN" not in log
 
 
+def test_sigterm_deaths_are_progress_neutral(tmp_path):
+    """ADVICE r4 #2: rc-143 (SIGTERM) deaths come from bench's chip pause or
+    the stall watchdog — external interventions that must not walk a healthy
+    run down the degrade ladder. 4 consecutive checkpoint-less SIGTERM deaths
+    would previously have escalated to MORPHEUS_DEGRADE=2."""
+    ws = tmp_path / "ws"
+    ws.mkdir()
+    attempts = tmp_path / "attempts.txt"
+    cmd = ("sh -c '"
+           f"echo $MORPHEUS_DEGRADE >> {attempts}; "
+           f"n=$(wc -l < {attempts}); "
+           "if [ $n -ge 5 ]; then exit 0; fi; exit 143'")
+    r = _run_supervisor(ws, cmd)
+    assert r.returncode == 0
+    assert attempts.read_text().split() == ["0"] * 5
+
+
+def test_tier2_watchdog_kills_cpu_busy_file_silent_hang(tmp_path):
+    """ADVICE r4 #4: a hung PJRT client can trickle background-thread CPU
+    above the (deliberately tiny) tier-1 bar, disabling it for the exact hang
+    class it was built for. The tier-2 bar ignores CPU entirely: no file
+    progress under $WS for MTIME_STALL_MULT*STALL_S -> kill."""
+    ws = tmp_path / "ws"
+    ws.mkdir()
+    attempts = tmp_path / "attempts.txt"
+    # first launch burns CPU forever without writing a file; second completes.
+    # `exec` keeps the spin in the PID the watchdog samples (TRAINER_CMD is
+    # eval'd in a subshell; without exec the CPU accrues to a child and
+    # tier-1 fires first on its 0-CPU parent)
+    cmd = ("exec sh -c '"
+           f"echo x >> {attempts}; n=$(wc -l < {attempts}); "
+           "if [ $n -ge 2 ]; then exit 0; fi; while :; do :; done'")
+    r = _run_supervisor(ws, cmd, timeout=180,
+                        env_extra={"STALL_S": "2", "MTIME_STALL_MULT": "2",
+                                   "WATCH_S": "1"})
+    assert r.returncode == 0
+    log = (ws / "supervisor.log").read_text()
+    assert "stall(tier2): no FILE progress" in log
+    assert "run COMPLETE" in log
+
+
 def _base_config():
     return {"tpu": {"chain_steps": True},
             "guidance": {"compute_dtype": "float32"},
