@@ -1,0 +1,94 @@
+#!/bin/bash
+# Round-5 post-run chip pipeline: waits for the full-budget supervisor
+# (/tmp/fullrun.pid) to finish, then executes the measurement suite and the
+# quality A/B in sequence. Everything lands in measurements/r5/ (tracked) and
+# is git-committed after every stage, so a tunnel outage or the round
+# boundary mid-pipeline loses nothing that already ran — the round-4 failure
+# mode was all results queueing behind one serial chip and none landing.
+# Ordering: cheap/high-value first (wallclock -> bench incl. the s05 SDS
+# points, warm-cache -> SDS ablations [the perf-attack data, VERDICT r4 #4]
+# -> rooflines -> step ablations -> dense-scale -> A/B). The A/B doubles as
+# the recon-quality arm (VERDICT r4 #6): 2x 400-epoch recon-only runs with
+# full Acc/Comp/depth-L1.
+set -u
+OUT=measurements/r5
+cd "$(dirname "$0")/.."
+mkdir -p $OUT
+WS=exp/synthetic_full
+
+commit_results() {
+  git add -A measurements/r5 2>/dev/null
+  git -c user.name=distsys-graft -c user.email=graft@localhost \
+      commit -q -m "measurements/r5: $1" 2>/dev/null || true
+}
+
+echo "$(date -u +%FT%TZ) waiting for full-budget run" | tee $OUT/status
+while kill -0 "$(cat /tmp/fullrun.pid 2>/dev/null)" 2>/dev/null; do
+  sleep 120
+done
+COMPLETE=0
+grep -q "run COMPLETE" "$WS/supervisor.log" && COMPLETE=1
+echo "$(date -u +%FT%TZ) supervisor exited (complete=$COMPLETE);" \
+     "starting measurements" | tee -a $OUT/status
+
+# the trainer drains detached eval workers on clean exit, but a crash-exit
+# may leave one running — give the final metric rows a bounded window
+python - <<'EOF'
+from morpheus_tpu.eval.backfill import wait_for_evals
+wait_for_evals("exp/synthetic_full", timeout_s=1800)
+EOF
+
+python scripts/wallclock_report.py $WS > $OUT/wallclock.txt 2>&1
+cp "$WS/metric_3d.txt" $OUT/ 2>/dev/null
+find "$WS/depths" -name 'depthL1_score_mean*.txt' -exec cp {} $OUT/ \; \
+    2>/dev/null
+tail -40 "$WS/log.txt" > $OUT/run_tail.txt 2>/dev/null
+commit_results "flagship run wallclock + metric trail (complete=$COMPLETE)"
+
+echo "== bench.py (driver protocol, all SDS variants incl. s05) ==" \
+    | tee -a $OUT/status
+MORPHEUS_BENCH_NO_PAUSE=1 BENCH_SDS=all BENCH_BUDGET_S=3600 \
+    timeout 4500 python bench.py > $OUT/bench.json 2> $OUT/bench.err
+echo "bench rc=$?" | tee -a $OUT/status
+commit_results "bench (incl. sds_step_ms_s05)"
+
+echo "== SDS virtual-step ablations (post-800 regime, VERDICT r4 #4) ==" \
+    | tee -a $OUT/status
+timeout 5400 python scripts/profile_sds.py > $OUT/profile_sds.txt 2>&1
+echo "profile_sds rc=$?" | tee -a $OUT/status
+commit_results "SDS step ablation splits"
+
+echo "== roofline splits (achieved GB/s, late + base) ==" | tee -a $OUT/status
+timeout 2400 python scripts/profile_step.py --roofline 1900 \
+    > $OUT/roofline_1900.txt 2>&1
+echo "roofline_1900 rc=$?" | tee -a $OUT/status
+timeout 2400 python scripts/profile_step.py --roofline 300 \
+    > $OUT/roofline_300.txt 2>&1
+echo "roofline_300 rc=$?" | tee -a $OUT/status
+commit_results "rooflines"
+
+echo "== step ablations (incl. late bf16-MLP) ==" | tee -a $OUT/status
+timeout 3600 python scripts/profile_step.py \
+    base occ_off no_band no_perturb no_smooth render_only bf16_mlp \
+    late late_bf16_mlp no_merge no_code no_orient \
+    > $OUT/profile.txt 2>&1
+echo "profile rc=$?" | tee -a $OUT/status
+commit_results "step ablations"
+
+echo "== dense-scale microbench ==" | tee -a $OUT/status
+timeout 1800 python scripts/bench_dense_scale.py > $OUT/dense_scale.txt 2>&1
+echo "dense_scale rc=$?" | tee -a $OUT/status
+commit_results "dense-scale microbench"
+
+echo "== quality A/B + recon arm (exact vs shipped, 400 epochs each) ==" \
+    | tee -a $OUT/status
+timeout 18000 bash scripts/run_ab.sh > $OUT/ab.txt 2>&1
+echo "ab rc=$?" | tee -a $OUT/status
+for arm in ab_exact ab_shipped; do
+  cp "exp/$arm/metric_3d.txt" "$OUT/metric_3d_$arm.txt" 2>/dev/null
+  find "exp/$arm" -name 'depthL1_score_mean*.txt' \
+      -exec cp {} "$OUT/depthL1_$arm.txt" \; 2>/dev/null
+done
+commit_results "quality A/B (exact vs shipped) + recon arms"
+echo "$(date -u +%FT%TZ) ALL DONE" | tee -a $OUT/status
+commit_results "status final"
