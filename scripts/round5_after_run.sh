@@ -90,5 +90,15 @@ for arm in ab_exact ab_shipped; do
       -exec cp {} "$OUT/depthL1_$arm.txt" \; 2>/dev/null
 done
 commit_results "quality A/B (exact vs shipped) + recon arms"
+# the ep-2000 eval worker (detached, 1-vCPU ICP) can outlive every stage
+# above — re-wait and re-copy the metric trail so the final commit carries
+# the complete series
+python - <<'EOF'
+from morpheus_tpu.eval.backfill import wait_for_evals
+wait_for_evals("exp/synthetic_full", timeout_s=7200)
+EOF
+cp "$WS/metric_3d.txt" $OUT/ 2>/dev/null
+find "$WS/depths" -name 'depthL1_score_mean*.txt' -exec cp {} $OUT/ \; \
+    2>/dev/null
 echo "$(date -u +%FT%TZ) ALL DONE" | tee -a $OUT/status
-commit_results "status final"
+commit_results "status final + late metric rows"
