@@ -408,6 +408,9 @@ def main():
                 z123.Zero123Guidance.init_random(jax.random.PRNGKey(1),
                                                  gspec), gspec)
             trainer_v = Trainer(cfg, ds_v, guidance=g, guidance_spec=gspec)
+            # CLIP-less rebind (as morpheus.py main does): the full tree
+            # pins the dead ViT-L tower in HBM and OOMs the late variants
+            g = trainer_v.guidance
             trainer_v.epoch = ep
             vstep = trainer_v._virtual_step_for_scale(
                 scale, trainer_v._active_levels())

@@ -218,8 +218,12 @@ def main(argv=None):
                 clip_encoder, max_epochs, exp)
     # evals run in detached sessions and survive a trainer crash; on the
     # CLEAN exit path, wait for them so "run COMPLETE" implies the final
-    # metric rows are on disk before any post-run pipeline reads them
-    if not wait_for_evals(workspace):
+    # metric rows are on disk before any post-run pipeline reads them.
+    # MORPHEUS_EVAL_DRAIN_S=0 skips the wait (the 1-vCPU ICP stage can take
+    # >1 h; a supervised pipeline that re-waits itself — e.g.
+    # scripts/round5_after_run.sh — shouldn't idle the chip behind it).
+    drain_s = float(os.environ.get("MORPHEUS_EVAL_DRAIN_S", "5400") or 0)
+    if drain_s > 0 and not wait_for_evals(workspace, timeout_s=drain_s):
         log("[eval] WARNING: eval workers still running at exit "
             "(detached; rows will land late)")
     log("Training done.")

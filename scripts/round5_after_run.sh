@@ -5,11 +5,14 @@
 # is git-committed after every stage, so a tunnel outage or the round
 # boundary mid-pipeline loses nothing that already ran — the round-4 failure
 # mode was all results queueing behind one serial chip and none landing.
-# Ordering: cheap/high-value first (wallclock -> bench incl. the s05 SDS
-# points, warm-cache -> SDS ablations [the perf-attack data, VERDICT r4 #4]
-# -> rooflines -> step ablations -> dense-scale -> A/B). The A/B doubles as
-# the recon-quality arm (VERDICT r4 #6): 2x 400-epoch recon-only runs with
-# full Acc/Comp/depth-L1.
+#
+# Ordering: wallclock (cheap) -> bench (the headline) -> quality A/B (the
+# recon-quality + semantics-delta evidence, VERDICT r4 #5/#6 — placed EARLY
+# because it is the longest stage and the round boundary may cut the tail)
+# -> SDS ablations -> rooflines -> step ablations -> dense-scale. Detached
+# eval workers (flagship final epoch + A/B arms) grind on the CPU in
+# parallel with chip stages; the final stage waits for them and re-copies
+# the metric trail.
 set -u
 OUT=measurements/r5
 cd "$(dirname "$0")/.."
@@ -22,6 +25,17 @@ commit_results() {
       commit -q -m "measurements/r5: $1" 2>/dev/null || true
 }
 
+copy_metrics() {
+  cp "$WS/metric_3d.txt" $OUT/ 2>/dev/null
+  find "$WS/depths" -name 'depthL1_score_mean*.txt' -exec cp {} $OUT/ \; \
+      2>/dev/null
+  for arm in ab_exact ab_shipped; do
+    cp "exp/$arm/metric_3d.txt" "$OUT/metric_3d_$arm.txt" 2>/dev/null
+    find "exp/$arm/depths" -name 'depthL1_score_mean_0400.txt' \
+        -exec cp {} "$OUT/depthL1_$arm.txt" \; 2>/dev/null
+  done
+}
+
 echo "$(date -u +%FT%TZ) waiting for full-budget run" | tee $OUT/status
 while kill -0 "$(cat /tmp/fullrun.pid 2>/dev/null)" 2>/dev/null; do
   sleep 120
@@ -31,17 +45,8 @@ grep -q "run COMPLETE" "$WS/supervisor.log" && COMPLETE=1
 echo "$(date -u +%FT%TZ) supervisor exited (complete=$COMPLETE);" \
      "starting measurements" | tee -a $OUT/status
 
-# the trainer drains detached eval workers on clean exit, but a crash-exit
-# may leave one running — give the final metric rows a bounded window
-python - <<'EOF'
-from morpheus_tpu.eval.backfill import wait_for_evals
-wait_for_evals("exp/synthetic_full", timeout_s=1800)
-EOF
-
 python scripts/wallclock_report.py $WS > $OUT/wallclock.txt 2>&1
-cp "$WS/metric_3d.txt" $OUT/ 2>/dev/null
-find "$WS/depths" -name 'depthL1_score_mean*.txt' -exec cp {} $OUT/ \; \
-    2>/dev/null
+copy_metrics
 tail -40 "$WS/log.txt" > $OUT/run_tail.txt 2>/dev/null
 commit_results "flagship run wallclock + metric trail (complete=$COMPLETE)"
 
@@ -51,6 +56,13 @@ MORPHEUS_BENCH_NO_PAUSE=1 BENCH_SDS=all BENCH_BUDGET_S=3600 \
     timeout 4500 python bench.py > $OUT/bench.json 2> $OUT/bench.err
 echo "bench rc=$?" | tee -a $OUT/status
 commit_results "bench (incl. sds_step_ms_s05)"
+
+echo "== quality A/B + recon arm (exact vs shipped, 400 epochs each) ==" \
+    | tee -a $OUT/status
+timeout 18000 bash scripts/run_ab.sh > $OUT/ab.txt 2>&1
+echo "ab rc=$?" | tee -a $OUT/status
+copy_metrics
+commit_results "quality A/B arms trained (exact vs shipped)"
 
 echo "== SDS virtual-step ablations (post-800 regime, VERDICT r4 #4) ==" \
     | tee -a $OUT/status
@@ -80,25 +92,15 @@ timeout 1800 python scripts/bench_dense_scale.py > $OUT/dense_scale.txt 2>&1
 echo "dense_scale rc=$?" | tee -a $OUT/status
 commit_results "dense-scale microbench"
 
-echo "== quality A/B + recon arm (exact vs shipped, 400 epochs each) ==" \
-    | tee -a $OUT/status
-timeout 18000 bash scripts/run_ab.sh > $OUT/ab.txt 2>&1
-echo "ab rc=$?" | tee -a $OUT/status
-for arm in ab_exact ab_shipped; do
-  cp "exp/$arm/metric_3d.txt" "$OUT/metric_3d_$arm.txt" 2>/dev/null
-  find "exp/$arm" -name 'depthL1_score_mean*.txt' \
-      -exec cp {} "$OUT/depthL1_$arm.txt" \; 2>/dev/null
-done
-commit_results "quality A/B (exact vs shipped) + recon arms"
-# the ep-2000 eval worker (detached, 1-vCPU ICP) can outlive every stage
-# above — re-wait and re-copy the metric trail so the final commit carries
-# the complete series
-python - <<'EOF'
+# detached eval workers (flagship ep-2000 + A/B arms, 1-vCPU ICP) can
+# outlive every chip stage — wait, then re-copy the complete metric trail
+for ws in "$WS" exp/ab_exact exp/ab_shipped; do
+  python - "$ws" <<'EOF'
+import sys
 from morpheus_tpu.eval.backfill import wait_for_evals
-wait_for_evals("exp/synthetic_full", timeout_s=7200)
+wait_for_evals(sys.argv[1], timeout_s=7200)
 EOF
-cp "$WS/metric_3d.txt" $OUT/ 2>/dev/null
-find "$WS/depths" -name 'depthL1_score_mean*.txt' -exec cp {} $OUT/ \; \
-    2>/dev/null
+done
+copy_metrics
 echo "$(date -u +%FT%TZ) ALL DONE" | tee -a $OUT/status
 commit_results "status final + late metric rows"

@@ -9,6 +9,10 @@
 # so a pause or kill costs at most exp.ckpt_interval epochs.
 set -eu
 cd "$(dirname "$0")/.."
+# arm trainers exit without idling the chip behind their detached 3-D-metric
+# eval (CPU-bound, ~1 h on this host); the caller re-waits for the rows
+# (round5_after_run.sh final stage) before reading them
+export MORPHEUS_EVAL_DRAIN_S=${MORPHEUS_EVAL_DRAIN_S:-0}
 for arm in ab_exact ab_shipped; do
   if [ "${MORPHEUS_AB_RESUME:-0}" != "1" ]; then
     rm -rf "exp/$arm"

@@ -81,6 +81,9 @@ while true; do
        "degrade=$DEGRADE from epoch $EP_BEFORE)" >> "$LOG"
   T0=$(date +%s)
   export MORPHEUS_DEGRADE=$DEGRADE
+  # don't idle the chip behind the (detached, CPU-bound, >1 h) final eval:
+  # the post-run pipeline re-waits for eval rows before reading them
+  export MORPHEUS_EVAL_DRAIN_S=${MORPHEUS_EVAL_DRAIN_S:-0}
   if [ -n "$TRAINER_CMD" ]; then
     eval "$TRAINER_CMD" >> "$LOG" 2>&1 &
   else
