@@ -19,21 +19,25 @@ cd "$(dirname "$0")/.."
 mkdir -p $OUT
 WS=exp/synthetic_full
 
-commit_results() {
-  git add -A measurements/r5 2>/dev/null
-  git -c user.name=distsys-graft -c user.email=graft@localhost \
-      commit -q -m "measurements/r5: $1" 2>/dev/null || true
-}
-
 copy_metrics() {
   cp "$WS/metric_3d.txt" $OUT/ 2>/dev/null
   find "$WS/depths" -name 'depthL1_score_mean*.txt' -exec cp {} $OUT/ \; \
       2>/dev/null
   for arm in ab_exact ab_shipped; do
     cp "exp/$arm/metric_3d.txt" "$OUT/metric_3d_$arm.txt" 2>/dev/null
-    find "exp/$arm/depths" -name 'depthL1_score_mean_0400.txt' \
+    find "exp/$arm/depths" -name 'depthL1_score_mean_*.txt' \
         -exec cp {} "$OUT/depthL1_$arm.txt" \; 2>/dev/null
   done
+}
+
+commit_results() {
+  # every stage commit also sweeps the latest metric rows: detached eval
+  # workers land rows asynchronously, and the round boundary must capture
+  # whatever exists at the last pre-boundary commit
+  copy_metrics
+  git add -A measurements/r5 2>/dev/null
+  git -c user.name=distsys-graft -c user.email=graft@localhost \
+      commit -q -m "measurements/r5: $1" 2>/dev/null || true
 }
 
 echo "$(date -u +%FT%TZ) waiting for full-budget run" | tee $OUT/status
@@ -46,9 +50,18 @@ echo "$(date -u +%FT%TZ) supervisor exited (complete=$COMPLETE);" \
      "starting measurements" | tee -a $OUT/status
 
 python scripts/wallclock_report.py $WS > $OUT/wallclock.txt 2>&1
-copy_metrics
 tail -40 "$WS/log.txt" > $OUT/run_tail.txt 2>/dev/null
 commit_results "flagship run wallclock + metric trail (complete=$COMPLETE)"
+
+# A/B before bench: the driver runs its own bench.py at round end either
+# way (BENCH_r05), while the A/B quality table exists ONLY if these arms
+# finish before the boundary (200 epochs each — round-2 measured the
+# Acc/Comp plateau by ep 200 on this scene)
+echo "== quality A/B + recon arm (exact vs shipped, 200 epochs each) ==" \
+    | tee -a $OUT/status
+timeout 18000 bash scripts/run_ab.sh > $OUT/ab.txt 2>&1
+echo "ab rc=$?" | tee -a $OUT/status
+commit_results "quality A/B arms trained (exact vs shipped)"
 
 echo "== bench.py (driver protocol, all SDS variants incl. s05) ==" \
     | tee -a $OUT/status
@@ -56,13 +69,6 @@ MORPHEUS_BENCH_NO_PAUSE=1 BENCH_SDS=all BENCH_BUDGET_S=3600 \
     timeout 4500 python bench.py > $OUT/bench.json 2> $OUT/bench.err
 echo "bench rc=$?" | tee -a $OUT/status
 commit_results "bench (incl. sds_step_ms_s05)"
-
-echo "== quality A/B + recon arm (exact vs shipped, 400 epochs each) ==" \
-    | tee -a $OUT/status
-timeout 18000 bash scripts/run_ab.sh > $OUT/ab.txt 2>&1
-echo "ab rc=$?" | tee -a $OUT/status
-copy_metrics
-commit_results "quality A/B arms trained (exact vs shipped)"
 
 echo "== SDS virtual-step ablations (post-800 regime, VERDICT r4 #4) ==" \
     | tee -a $OUT/status
